@@ -1,0 +1,240 @@
+"""TPU-native doubling-adding RT core (elemental / doubling / interaction).
+
+This is a ground-up JAX re-design of the reference's CoreKernel
+(ref: src/CoreRT/CoreKernel/{elemental,doubling,interaction}.jl and
+src/CoreRT/rt_run.jl). Key departures from the CUDA/Julia architecture:
+
+  * Arrays are batch-leading ``(nSpec, N, N)`` so every matrix product maps to
+    an XLA batched matmul on the MXU (the reference uses trailing-batch CUBLAS
+    strided calls).
+  * Explicit inverses (CUBLAS getri) are replaced by batched LU solves
+    ``X A^{-1} = solve(A^T, X^T)^T`` — better numerically and on TPU.
+  * Mutable layer structs + in-place kernels are replaced by an immutable
+    pytree carried through ``lax.scan`` over atmospheric layers.
+  * Per-layer doubling counts are traced scalars driving ``lax.fori_loop``
+    (forward-mode differentiable), rather than host-side control flow.
+  * The D-matrix symmetry bookkeeping (sign flips for U/V Stokes components)
+    is done with sign vectors. We use the exact D = diag(1,1,-1,-1): the
+    reference's 1-based ``mod`` indexing skips the V row in its flip kernels
+    (src/CoreRT/CoreKernel/doubling.jl:93-110), which is inconsequential for
+    all its shipped tests (V == 0) but physically inconsistent; we do not
+    replicate that quirk.
+
+Layer state convention: R/T are (nSpec, N, N); source vectors J are (nSpec, N).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LayerRT(NamedTuple):
+    """Reflection/transmission operator of a (composite or added) slab.
+
+    r_mp = R^-+ (illuminated from top, reflected up), r_pm = R^+-,
+    t_pp = T^++ (downward transmission), t_mm = T^--,
+    j_p = J0^+ (downwelling source), j_m = J0^- (upwelling source).
+    ref: src/CoreRT/types.jl:108-141 (AddedLayer / CompositeLayer)
+    """
+    r_mp: jnp.ndarray
+    r_pm: jnp.ndarray
+    t_pp: jnp.ndarray
+    t_mm: jnp.ndarray
+    j_p: jnp.ndarray
+    j_m: jnp.ndarray
+
+
+def vacuum_layer(n_spec: int, n: int, dtype) -> LayerRT:
+    """Identity (empty-space) slab: interaction with it is a no-op copy."""
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (n_spec, n, n))
+    zero_m = jnp.zeros((n_spec, n, n), dtype)
+    zero_v = jnp.zeros((n_spec, n), dtype)
+    return LayerRT(zero_m, zero_m, eye, eye, zero_v, zero_v)
+
+
+# --- batched linear algebra helpers -----------------------------------------
+
+def bmm(a, b):
+    """Batched matrix product over leading spectral axis."""
+    return jnp.einsum("nij,njk->nik", a, b,
+                      preferred_element_type=a.dtype)
+
+
+def bmv(a, v):
+    """Batched matrix-vector product."""
+    return jnp.einsum("nij,nj->ni", a, v, preferred_element_type=a.dtype)
+
+
+def rsolve(x, a):
+    """Compute X @ A^{-1} via batched LU solve (never form the inverse)."""
+    return jnp.linalg.solve(a.transpose(0, 2, 1),
+                            x.transpose(0, 2, 1)).transpose(0, 2, 1)
+
+
+# --- doubling count (ref: src/CoreRT/tools/rt_helper_functions.jl:31-57) ----
+
+def doubling_number(dtau_max, tau_end):
+    """Number of doublings to grow an elemental layer of <= dtau_max to
+    tau_end. Traced-scalar version of the reference's log10 splitting."""
+    eps = jnp.finfo(jnp.result_type(float)).eps
+    tlimit = jnp.log2(tau_end / dtau_max)
+    nlimit = jnp.floor(tlimit)
+    ndoubl = jnp.where(tlimit - nlimit < eps, nlimit, nlimit + 1.0)
+    ndoubl = jnp.where(tau_end <= dtau_max, 0.0, ndoubl)
+    return jnp.maximum(ndoubl, 0.0).astype(jnp.int32)
+
+
+# --- elemental single-scattering layer --------------------------------------
+
+def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
+              i0_vec, i_mu0_n, n_stokes, mu0_node):
+    """Single-scattering initialization of an elemental layer.
+
+    ref: src/CoreRT/CoreKernel/elemental.jl:164-253 (get_elem_rt!/..._SFI!).
+    Pure jnp broadcasting — XLA fuses the whole thing into one kernel.
+
+    dtau, omega, tau_sum: (nSpec,); z_pp/z_mp: (nSpec|1, N, N);
+    qp, wct2: (N,); i0_vec: (N,) incident Stokes vector embedded at the solar
+    node block; mu0_node: scalar, qp[i_mu0_n].
+    Returns r_mp, t_pp (nSpec, N, N) and j_p, j_m (nSpec, N).
+    """
+    dt = dtau[:, None, None]
+    om = omega[:, None, None]
+    mu_i = qp[:, None]
+    mu_j = qp[None, :]
+    same_mu = mu_i == mu_j
+    eye = jnp.eye(qp.shape[0], dtype=bool)
+    col_mask = wct2 > 1e-8
+
+    exp_i = jnp.exp(-dtau[:, None, None] / mu_i)     # (nSpec, N, 1)->bcast
+    exp_j = jnp.exp(-dtau[:, None, None] / mu_j)
+
+    # R^-+(mu_i, mu_j) = w Z^-+ (mu_j/(mu_i+mu_j)) w_j (1 - e^{-dt(1/mu_i+1/mu_j)})
+    r_mp = (om * z_mp * (mu_j / (mu_i + mu_j)) * wct2[None, None, :]
+            * (1.0 - jnp.exp(-dt * (1.0 / mu_i + 1.0 / mu_j))))
+    r_mp = jnp.where(col_mask[None, None, :], r_mp, 0.0)
+
+    # T^++ diagonal: e^{-dt/mu_i}(1 + w Z^++_ii (dt/mu_i) w_i)
+    t_diag = exp_i * (1.0 + om * z_pp * (dt / mu_i) * wct2[None, None, :])
+    # T^++ off-diagonal (mu_i != mu_j)
+    denom = jnp.where(same_mu, 1.0, mu_i - mu_j)
+    t_off = om * z_pp * (mu_j / denom) * wct2[None, None, :] * (exp_i - exp_j)
+    t_pp = jnp.where(same_mu[None, :, :],
+                     jnp.where(eye[None, :, :], t_diag, 0.0),
+                     t_off)
+    # Zero-weight (camera-only) columns transmit attenuated beam only
+    t_pp = jnp.where(col_mask[None, None, :], t_pp,
+                     jnp.where(eye[None, :, :], exp_i * jnp.ones_like(t_pp), 0.0))
+
+    # --- SFI solar source vectors (Fell eqs. 1.52-1.54) ---
+    z_pp_i0 = bmv(jnp.broadcast_to(z_pp, (dtau.shape[0],) + z_pp.shape[-2:]),
+                  jnp.broadcast_to(i0_vec, (dtau.shape[0], i0_vec.shape[0])))
+    z_mp_i0 = bmv(jnp.broadcast_to(z_mp, (dtau.shape[0],) + z_mp.shape[-2:]),
+                  jnp.broadcast_to(i0_vec, (dtau.shape[0], i0_vec.shape[0])))
+
+    idx = jnp.arange(qp.shape[0])
+    in_block = (idx >= i_mu0_n) & (idx < i_mu0_n + n_stokes)
+
+    mu_iv = qp[None, :]
+    dt_v = dtau[:, None]
+    exp_iv = jnp.exp(-dt_v / mu_iv)
+    exp_0 = jnp.exp(-dt_v / mu0_node)
+    denom0 = jnp.where(in_block[None, :], 1.0, mu_iv - mu0_node)
+    j_p = jnp.where(
+        in_block[None, :],
+        (dt_v / mu_iv) * exp_iv,
+        (mu0_node / denom0) * (exp_iv - exp_0))
+    j_p = wct02 * omega[:, None] * z_pp_i0 * j_p
+    j_m = (wct02 * omega[:, None] * z_mp_i0 * (mu0_node / (mu_iv + mu0_node))
+           * (1.0 - jnp.exp(-dt_v * (1.0 / mu_iv + 1.0 / mu0_node))))
+
+    atten = jnp.exp(-tau_sum / mu0_node)[:, None]
+    return r_mp, t_pp, j_p * atten, j_m * atten
+
+
+# --- doubling (ref: src/CoreRT/CoreKernel/doubling.jl:13-91) ----------------
+
+def doubling(r_mp_f, t_pp, j_p, j_m_f, expk, ndoubl, eye):
+    """Grow an elemental layer to the full homogeneous slab by doubling.
+
+    Operates on the row-flipped quantities r̃ = D r^-+ and J̃^- = D J^- so the
+    doubling recursion needs only one reflection operator (D-symmetry trick,
+    ref: doubling.jl:43-68). ``ndoubl`` is a traced scalar; the loop lowers to
+    a while_loop (forward-mode differentiable).
+    """
+    def body(_, state):
+        r, t, jp, jm, ek = state
+        a = eye - bmm(r, r)
+        tt = rsolve(t, a)                      # T (I - r r)^{-1}
+        j1p = jp * ek[:, None]
+        j1m = jm * ek[:, None]
+        jm_new = jm + bmv(tt, j1m + bmv(r, jp))
+        jp_new = j1p + bmv(tt, jp + bmv(r, j1m))
+        r_new = r + bmm(tt, bmm(r, t))
+        t_new = bmm(tt, t)
+        return (r_new, t_new, jp_new, jm_new, ek * ek)
+
+    state = (r_mp_f, t_pp, j_p, j_m_f, expk)
+    state = lax.fori_loop(0, ndoubl, body, state)
+    return state[:4]
+
+
+def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
+                     i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
+                     min_qp_mu, eye) -> LayerRT:
+    """Elemental + doubling for one atmospheric layer -> full added layer.
+
+    tau/omega: (nSpec,) per-wavelength optical depth & single-scatter albedo.
+    ref: src/CoreRT/CoreKernel/rt_kernel.jl:238-275 (init_layer + dispatch)
+    """
+    tau_scat_max = jnp.max(tau * omega)
+    dtau_max = jnp.minimum(tau_scat_max, 0.001 * min_qp_mu)
+    ndoubl = doubling_number(dtau_max, tau_scat_max)
+    scale = 2.0 ** ndoubl.astype(tau.dtype)
+    dtau = tau / scale
+    expk = jnp.exp(-dtau / mu0)
+
+    r_mp, t_pp, j_p, j_m = elemental(
+        dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
+        i0_vec, i_mu0_n, n_stokes, mu0_node)
+
+    # Row-flip (D-symmetry trick), double, un-flip.
+    r_f = d_vec[None, :, None] * r_mp
+    jm_f = d_vec[None, :] * j_m
+    r_f, t_pp, j_p, jm_f = doubling(r_f, t_pp, j_p, jm_f, expk, ndoubl, eye)
+    r_mp = d_vec[None, :, None] * r_f
+    j_m = d_vec[None, :] * jm_f
+
+    # Derive mirror operators from D-matrix symmetry: R^+- = D R^-+ D etc.
+    sgn = d_vec[None, :, None] * d_vec[None, None, :]
+    return LayerRT(r_mp=r_mp, r_pm=sgn * r_mp, t_pp=t_pp, t_mm=sgn * t_pp,
+                   j_p=j_p, j_m=j_m)
+
+
+# --- interaction / adding (ref: src/CoreRT/CoreKernel/interaction.jl) -------
+
+def interaction(comp: LayerRT, added: LayerRT, eye) -> LayerRT:
+    """Compose composite(top) with added(bottom) slab (full 11-path adding).
+
+    With a vacuum composite this reduces exactly to a copy of ``added``, so no
+    special-casing of the first layer is needed. The reference's 00/01/10
+    shortcuts are algebraic special cases of this path.
+    ref: src/CoreRT/CoreKernel/interaction.jl:69-117
+    """
+    a1 = eye - bmm(added.r_mp, comp.r_pm)
+    t01 = rsolve(comp.t_mm, a1)               # T^--_comp (I - r R)^{-1}
+    j_m = comp.j_m + bmv(t01, bmv(added.r_mp, comp.j_p) + added.j_m)
+    r_mp = comp.r_mp + bmm(t01, bmm(added.r_mp, comp.t_pp))
+    t_mm = bmm(t01, added.t_mm)
+
+    a2 = eye - bmm(comp.r_pm, added.r_mp)
+    t21 = rsolve(added.t_pp, a2)
+    j_p = added.j_p + bmv(t21, comp.j_p + bmv(comp.r_pm, added.j_m))
+    t_pp = bmm(t21, comp.t_pp)
+    r_pm = added.r_pm + bmm(t21, bmm(comp.r_pm, added.t_mm))
+
+    return LayerRT(r_mp=r_mp, r_pm=r_pm, t_pp=t_pp, t_mm=t_mm,
+                   j_p=j_p, j_m=j_m)

@@ -1,0 +1,153 @@
+"""rt_run: the forward RT simulation driver.
+
+TPU-native pipeline (ref: src/CoreRT/rt_run.jl:41-230):
+  for each Fourier moment m:
+    - assemble Z component matrices (host, numpy)  [setup]
+    - one jitted device step: lax.scan over layers (elemental -> doubling ->
+      interaction), surface layer, final interaction
+    - azimuthal synthesis of the small (n_vza, n_stokes, nSpec) outputs
+
+The spectral axis (nSpec) is the batch/sharding axis: every op inside the
+jitted step is batched over it, so a NamedSharding over nSpec scales it
+across a TPU slice with zero collectives (elastic path).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsmartmom.core.rt import (LayerRT, interaction, make_added_layer,
+                               vacuum_layer)
+from vsmartmom.core.surface import lambertian_surface_layer
+from vsmartmom.scattering.phase import Polarization, compute_Z_moments
+from vsmartmom.util.quadrature import QuadPoints, nearest_point
+
+
+@dataclasses.dataclass
+class BandRTInputs:
+    """Device-ready per-band inputs for the jitted RT core.
+
+    tau:   (nZ, nSpec) total layer optical depth (scattering + absorption)
+    omega: (nZ, nSpec) total single-scattering albedo
+    zw:    (nZ, K, nSpec) normalized scattering-component mixing weights
+           (K = 1 Rayleigh + n_aerosols); the per-layer phase matrix is
+           Z(layer) = sum_k zw[k] * Z_k, assembled on device to avoid ever
+           materializing a (nZ, nSpec, N, N) tensor.
+    greeks: list of K GreekCoefs (Rayleigh first, then aerosols).
+    """
+    tau: np.ndarray
+    omega: np.ndarray
+    zw: np.ndarray
+    greeks: list
+
+
+@partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec"))
+def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
+                  albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
+                  *, i_mu0_n, n_stokes, is_m0, n_spec):
+    """One Fourier moment: layer scan + surface. Returns composite layer."""
+    dtype = tau.dtype
+    n = qp.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (n_spec, n, n))
+    wct02 = jnp.asarray(0.5 if is_m0 else 0.25, dtype)
+    wct2 = wt / 2.0 if is_m0 else wt / 4.0
+
+    # Cumulative optical depth above each layer (TOA -> BOA)
+    tau_sum_all = jnp.concatenate(
+        [jnp.zeros((1, tau.shape[1]), dtype), jnp.cumsum(tau, axis=0)], axis=0)
+
+    def scan_body(carry, inputs):
+        tau_z, omega_z, zw_z, tau_sum_z = inputs
+        z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
+        z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
+        added = make_added_layer(
+            tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
+            i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye)
+        return interaction(carry, added, eye), None
+
+    init = vacuum_layer(n_spec, n, dtype)
+    comp, _ = jax.lax.scan(scan_body, init,
+                           (tau, omega, zw, tau_sum_all[:-1]))
+
+    surf = lambertian_surface_layer(
+        albedo, n_spec, n_stokes, qp, wt, i0_vec, tau_sum_all[-1], mu0,
+        is_m0, dtype, spectral_albedo=spectral_albedo)
+    comp = interaction(comp, surf, eye)
+    return comp
+
+
+def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
+                vza, vaz, max_m: int, surface, dtype=jnp.float64,
+                return_composite: bool = False):
+    """Run the full Fourier-moment loop for one band; azimuthally synthesize.
+
+    surface: dict like {"type": "LambertianSurfaceScalar", "albedo": 0.1}.
+    Returns (R_SFI, T_SFI) of shape (n_vza, n_stokes, nSpec).
+    """
+    n_spec = band.tau.shape[1]
+    n = len(quad.qp_mu_n)
+    n_stokes = pol.n
+    vza = np.asarray(vza, dtype=np.float64)
+    vaz = np.asarray(vaz, dtype=np.float64)
+
+    i0_vec = np.zeros(n)
+    i0_vec[quad.i_mu0_n:quad.i_mu0_n + n_stokes] = pol.i0
+    d_vec = np.tile(pol.d, quad.n_quad)
+    mu0_node = float(quad.qp_mu_n[quad.i_mu0_n])
+    min_qp_mu = float(np.min(quad.qp_mu))
+
+    albedo = 0.0
+    spectral_albedo = None
+    if surface["type"] == "LambertianSurfaceScalar":
+        albedo = float(surface["albedo"])
+    elif surface["type"] == "LambertianSurfaceSpectrum":
+        spectral_albedo = jnp.asarray(surface["albedo"], dtype)
+    else:
+        raise NotImplementedError(surface["type"])
+
+    R_SFI = np.zeros((len(vza), n_stokes, n_spec))
+    T_SFI = np.zeros((len(vza), n_stokes, n_spec))
+
+    to_dev = lambda x: jnp.asarray(x, dtype)
+    comps = []
+    for m in range(max_m):
+        z_pp_list, z_mp_list = [], []
+        for gc in band.greeks:
+            zpp, zmp = compute_Z_moments(pol, quad.qp_mu, gc, m)
+            z_pp_list.append(zpp)
+            z_mp_list.append(zmp)
+        z_pp_c = to_dev(np.stack(z_pp_list))
+        z_mp_c = to_dev(np.stack(z_mp_list))
+
+        comp = _fourier_step(
+            to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
+            z_pp_c, z_mp_c, to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n),
+            to_dev(d_vec), to_dev(i0_vec), jnp.asarray(albedo, dtype),
+            spectral_albedo, jnp.asarray(quad.mu0, dtype),
+            jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
+            i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
+            n_spec=n_spec)
+        if return_composite:
+            comps.append(jax.tree.map(np.asarray, comp))
+
+        # --- azimuthal synthesis (ref: tools/postprocessing_vza.jl:9-60) ---
+        j_m = np.asarray(comp.j_m)   # (nSpec, N)
+        j_p = np.asarray(comp.j_p)
+        weight = 0.5 if m == 0 else 1.0
+        for i in range(len(vza)):
+            i_mu = nearest_point(quad.qp_mu, np.cos(np.deg2rad(vza[i])))
+            sl = slice(n_stokes * i_mu, n_stokes * (i_mu + 1))
+            cm = np.cos(np.deg2rad(m * vaz[i]))
+            sm = np.sin(np.deg2rad(m * vaz[i]))
+            big_cs = weight * np.array([cm, cm, sm, sm][:n_stokes])
+            R_SFI[i] += big_cs[:, None] * j_m[:, sl].T
+            T_SFI[i] += big_cs[:, None] * j_p[:, sl].T
+
+    if return_composite:
+        return R_SFI, T_SFI, comps
+    return R_SFI, T_SFI
