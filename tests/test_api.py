@@ -1,0 +1,83 @@
+"""End-to-end user API tests: YAML -> parameters -> model -> rt_run.
+
+Mirrors the reference's user flow (test_CoreRT.jl uses exactly this path).
+"""
+import json
+import os
+
+import numpy as np
+
+import vsmartmom
+from vsmartmom import (default_parameters, model_from_parameters,
+                      parameters_from_yaml, rt_run)
+from vsmartmom.config.params import parse_spec_band
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_parse_spec_band_forms():
+    # Julia range form with arithmetic
+    g = parse_spec_band("(1e7/777):0.015:(1e7/757)")
+    assert g[0] == 1e7 / 777
+    assert np.allclose(np.diff(g), 0.015)
+    assert g[-1] <= 1e7 / 757
+    # matrix literal form
+    g2 = parse_spec_band("[18867.92 18868.92]")
+    np.testing.assert_allclose(g2, [18867.92, 18868.92])
+    # wavelength-unit form converts to wavenumbers
+    g3 = parse_spec_band('[500 510]u"nm"')
+    np.testing.assert_allclose(sorted(g3), sorted([1e7 / 500, 1e7 / 510]))
+
+
+def test_parameters_from_yaml_roundtrip():
+    params = parameters_from_yaml(f"{DATA}/rayleigh_benchmark.yaml")
+    assert params.polarization_type == "Stokes_IQUV"
+    assert params.quadrature_type == "RadauQuad"
+    assert params.max_m == 3
+    assert params.l_trunc == 20
+    assert params.surfaces[0] == {"type": "LambertianSurfaceScalar",
+                                  "albedo": 0.0}
+    assert len(params.spec_bands[0]) == 2
+    assert params.absorption_params is None
+
+
+def test_default_parameters_loads():
+    params = default_parameters()
+    assert params.absorption_params is not None
+    assert params.scattering_params is not None
+    assert params.absorption_params.molecules[0] == ["O2", "CO2"]
+    assert len(params.spec_bands[0]) > 1000   # hyperspectral O2 A-band
+
+
+def test_rt_run_via_api_matches_6sv1_case1():
+    """Full user pipeline reproduces the 6SV1 case-1 gate."""
+    r_trues = np.asarray(json.load(open(f"{DATA}/6sv1_r_trues.json")))
+    params = parameters_from_yaml(f"{DATA}/rayleigh_benchmark.yaml")
+    model = model_from_parameters(params)
+    # Override the Rayleigh optical depth as the reference test does
+    model.tau_rayl[0][:] = 0.1
+    R, T = rt_run(model, i_band=0)
+    r_model = R[:, 0, 0] / model.quad_points.mu0
+    r_true = r_trues[0, 0, 0]   # case 1, sza 23.0739, az 180->vaz 0? no:
+    # case 1 truth is (sza, az) grid; vaz=0 column is az index 2
+    r_true = r_trues[0, 0, 2]
+    delta = np.max(np.abs(r_true - r_model) / r_true)
+    assert delta < 0.006, delta
+
+
+def test_profile_fields_hydrostatic():
+    params = default_parameters()
+    # absorption/scattering modules arrive in later build stages; exercise
+    # the profile + Rayleigh machinery on the full 34-layer atmosphere here
+    params.absorption_params = None
+    params.scattering_params = None
+    model = model_from_parameters(params)
+    prof = model.profile
+    # columns positive, sum to a sensible total dry column (~2.1e25 molec/cm2)
+    assert np.all(prof.vcd_dry > 0)
+    assert 1e25 < prof.vcd_dry.sum() < 3e25
+    # Rayleigh tau at 760nm should be ~0.02-0.03 total
+    tau_r = model.tau_rayl[0].sum(axis=1)
+    assert np.all((tau_r > 0.01) & (tau_r < 0.05))
+    assert model.tau_abs[0].shape == (len(params.spec_bands[0]),
+                                      prof.n_layers)

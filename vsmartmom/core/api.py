@@ -1,0 +1,75 @@
+"""User-facing rt_run on an RTModel (mirrors the reference's entry point).
+
+ref: src/CoreRT/rt_run.jl:19-230 and
+     src/CoreRT/LayerOpticalProperties/compEffectiveLayerProperties.jl
+"""
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import numpy as np
+
+from vsmartmom.core.model import RTModel
+from vsmartmom.core.rt_run import BandRTInputs, rt_run_band
+
+
+def build_band_inputs(model: RTModel, i_band: int,
+                      omega_cabannes: float = 1.0) -> BandRTInputs:
+    """Mix Rayleigh + aerosols + gas absorption into core layer optical
+    properties (tau, omega, component mixing weights).
+
+    ref: compEffectiveLayerProperties.jl:1-85 (constructCoreOpticalProperties
+    + createAero). The delta-BGE-truncated aerosols enter with
+    tau' = (1 - f_t * ssa) tau and ssa' = (1 - f_t) ssa / (1 - f_t * ssa).
+    """
+    tau_rayl = model.tau_rayl[i_band]          # (nSpec, nZ)
+    tau_abs = model.tau_abs[i_band]            # (nSpec, nZ)
+    tau_aer = model.tau_aer[i_band]            # (nAer, nZ)
+    n_spec, n_z = tau_rayl.shape
+    n_aer = tau_aer.shape[0]
+
+    # scattering components: Rayleigh first, then aerosols
+    scat = np.zeros((n_z, 1 + n_aer, n_spec))
+    scat[:, 0, :] = (tau_rayl * omega_cabannes).T
+    tau_total = tau_rayl.T.copy()              # (nZ, nSpec)
+    greeks = [model.greek_rayleigh]
+    for i in range(n_aer):
+        optics = model.aerosol_optics[i_band][i]
+        f_t, ssa = optics.f_t, optics.ssa
+        tau_mod = (1.0 - f_t * ssa) * tau_aer[i]        # (nZ,)
+        ssa_mod = (1.0 - f_t) * ssa / (1.0 - f_t * ssa)
+        tau_total += tau_mod[:, None]
+        scat[:, 1 + i, :] = (tau_mod * ssa_mod)[:, None]
+        greeks.append(optics.greek_coefs)
+    tau_total += tau_abs.T
+
+    scat_sum = scat.sum(axis=1)                          # (nZ, nSpec)
+    omega = scat_sum / tau_total
+    with np.errstate(invalid="ignore", divide="ignore"):
+        zw = np.where(scat_sum[:, None, :] > 0,
+                      scat / np.maximum(scat_sum[:, None, :], 1e-300), 0.0)
+    return BandRTInputs(tau=tau_total, omega=omega, zw=zw, greeks=greeks)
+
+
+def rt_run(model: RTModel, i_band: Union[int, Sequence[int]] = 0,
+           dtype=None):
+    """Run the forward RT simulation for the given band(s).
+
+    Returns (R_SFI, T_SFI) with shape (n_vza, n_stokes, nSpec); multiple
+    bands are concatenated along the spectral axis (ref: bandSpecLim
+    bookkeeping in rt_run.jl:66-74).
+    """
+    import jax.numpy as jnp
+    if dtype is None:
+        dtype = jnp.float32 if model.params.float_type == "Float32" else jnp.float64
+    bands = [i_band] if isinstance(i_band, int) else list(i_band)
+    Rs, Ts = [], []
+    for ib in bands:
+        band = build_band_inputs(model, ib)
+        surface = model.params.surfaces[ib]
+        R, T = rt_run_band(model.pol, model.quad_points, band,
+                           model.obs_geom.vza, model.obs_geom.vaz,
+                           model.params.max_m, surface, dtype=dtype)
+        Rs.append(R)
+        Ts.append(T)
+    return np.concatenate(Rs, axis=-1), np.concatenate(Ts, axis=-1)
