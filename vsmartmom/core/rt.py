@@ -68,10 +68,35 @@ def bmv(a, v):
     return jnp.einsum("nij,nj->ni", a, v, preferred_element_type=a.dtype)
 
 
-def rsolve(x, a):
+def rsolve_lu(x, a):
     """Compute X @ A^{-1} via batched LU solve (never form the inverse)."""
     return jnp.linalg.solve(a.transpose(0, 2, 1),
                             x.transpose(0, 2, 1)).transpose(0, 2, 1)
+
+
+def make_rsolve(solver: str = "lu", schulz_iters: int = 5):
+    """Right-solve factory: X @ A^{-1} for A = I - B with spectral radius
+    rho(B) < 1 (guaranteed for passive media: B is a product of reflection
+    operators).
+
+    'lu'     — batched LU (fast LAPACK on CPU; pathologically slow on TPU,
+               where partial pivoting serializes: ~10x a matmul).
+    'schulz' — Newton-Schulz iteration, pure batched matmuls on the MXU.
+               M_0 = 2I - A (= I + B); residual after k iterations is
+               B^(2^(k+1)): 5 iterations drive rho(B)=0.6 to ~1e-14.
+    """
+    if solver == "lu":
+        return rsolve_lu
+
+    def rsolve_schulz(x, a):
+        n = a.shape[-1]
+        eye2 = 2.0 * jnp.eye(n, dtype=a.dtype)
+        m = eye2 - a                        # I + B
+        for _ in range(schulz_iters):
+            m = bmm(m, eye2 - bmm(a, m))
+        return bmm(x, m)
+
+    return rsolve_schulz
 
 
 # --- doubling count (ref: src/CoreRT/tools/rt_helper_functions.jl:31-57) ----
@@ -110,18 +135,22 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
     col_mask = wct2 > 1e-8
 
     exp_i = jnp.exp(-dtau[:, None, None] / mu_i)     # (nSpec, N, 1)->bcast
-    exp_j = jnp.exp(-dtau[:, None, None] / mu_j)
 
     # R^-+(mu_i, mu_j) = w Z^-+ (mu_j/(mu_i+mu_j)) w_j (1 - e^{-dt(1/mu_i+1/mu_j)})
+    # expm1 keeps full precision for the tiny dtau of elemental layers
+    # (dtau ~ 1e-4: naive 1-exp(-x) loses ~half the mantissa in f32).
     r_mp = (om * z_mp * (mu_j / (mu_i + mu_j)) * wct2[None, None, :]
-            * (1.0 - jnp.exp(-dt * (1.0 / mu_i + 1.0 / mu_j))))
+            * (-jnp.expm1(-dt * (1.0 / mu_i + 1.0 / mu_j))))
     r_mp = jnp.where(col_mask[None, None, :], r_mp, 0.0)
 
     # T^++ diagonal: e^{-dt/mu_i}(1 + w Z^++_ii (dt/mu_i) w_i)
     t_diag = exp_i * (1.0 + om * z_pp * (dt / mu_i) * wct2[None, None, :])
-    # T^++ off-diagonal (mu_i != mu_j)
+    # T^++ off-diagonal (mu_i != mu_j):
+    # e^{-dt/mu_i} - e^{-dt/mu_j} = e^{-dt/mu_j} expm1(dt/mu_j - dt/mu_i)
     denom = jnp.where(same_mu, 1.0, mu_i - mu_j)
-    t_off = om * z_pp * (mu_j / denom) * wct2[None, None, :] * (exp_i - exp_j)
+    exp_diff = (jnp.exp(-dt / mu_j)
+                * jnp.expm1(dt / mu_j - dt / mu_i))
+    t_off = om * z_pp * (mu_j / denom) * wct2[None, None, :] * exp_diff
     t_pp = jnp.where(same_mu[None, :, :],
                      jnp.where(eye[None, :, :], t_diag, 0.0),
                      t_off)
@@ -141,15 +170,17 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
     mu_iv = qp[None, :]
     dt_v = dtau[:, None]
     exp_iv = jnp.exp(-dt_v / mu_iv)
-    exp_0 = jnp.exp(-dt_v / mu0_node)
     denom0 = jnp.where(in_block[None, :], 1.0, mu_iv - mu0_node)
+    # e^{-dt/mu_i} - e^{-dt/mu_0} via expm1 (cancellation-safe, see above)
+    exp_diff0 = (jnp.exp(-dt_v / mu0_node)
+                 * jnp.expm1(dt_v / mu0_node - dt_v / mu_iv))
     j_p = jnp.where(
         in_block[None, :],
         (dt_v / mu_iv) * exp_iv,
-        (mu0_node / denom0) * (exp_iv - exp_0))
+        (mu0_node / denom0) * exp_diff0)
     j_p = wct02 * omega[:, None] * z_pp_i0 * j_p
     j_m = (wct02 * omega[:, None] * z_mp_i0 * (mu0_node / (mu_iv + mu0_node))
-           * (1.0 - jnp.exp(-dt_v * (1.0 / mu_iv + 1.0 / mu0_node))))
+           * (-jnp.expm1(-dt_v * (1.0 / mu_iv + 1.0 / mu0_node))))
 
     atten = jnp.exp(-tau_sum / mu0_node)[:, None]
     return r_mp, t_pp, j_p * atten, j_m * atten
@@ -157,7 +188,7 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
 
 # --- doubling (ref: src/CoreRT/CoreKernel/doubling.jl:13-91) ----------------
 
-def doubling(r_mp_f, t_pp, j_p, j_m_f, expk, ndoubl, eye):
+def doubling(r_mp_f, t_pp, j_p, j_m_f, expk, ndoubl, eye, rsolve=rsolve_lu):
     """Grow an elemental layer to the full homogeneous slab by doubling.
 
     Operates on the row-flipped quantities r̃ = D r^-+ and J̃^- = D J^- so the
@@ -184,7 +215,7 @@ def doubling(r_mp_f, t_pp, j_p, j_m_f, expk, ndoubl, eye):
 
 def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
                      i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
-                     min_qp_mu, eye) -> LayerRT:
+                     min_qp_mu, eye, rsolve=rsolve_lu) -> LayerRT:
     """Elemental + doubling for one atmospheric layer -> full added layer.
 
     tau/omega: (nSpec,) per-wavelength optical depth & single-scatter albedo.
@@ -204,7 +235,8 @@ def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
     # Row-flip (D-symmetry trick), double, un-flip.
     r_f = d_vec[None, :, None] * r_mp
     jm_f = d_vec[None, :] * j_m
-    r_f, t_pp, j_p, jm_f = doubling(r_f, t_pp, j_p, jm_f, expk, ndoubl, eye)
+    r_f, t_pp, j_p, jm_f = doubling(r_f, t_pp, j_p, jm_f, expk, ndoubl, eye,
+                                    rsolve=rsolve)
     r_mp = d_vec[None, :, None] * r_f
     j_m = d_vec[None, :] * jm_f
 
@@ -216,7 +248,7 @@ def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
 
 # --- interaction / adding (ref: src/CoreRT/CoreKernel/interaction.jl) -------
 
-def interaction(comp: LayerRT, added: LayerRT, eye) -> LayerRT:
+def interaction(comp: LayerRT, added: LayerRT, eye, rsolve=rsolve_lu) -> LayerRT:
     """Compose composite(top) with added(bottom) slab (full 11-path adding).
 
     With a vacuum composite this reduces exactly to a copy of ``added``, so no

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vsmartmom.core.rt import (LayerRT, interaction, make_added_layer,
-                               vacuum_layer)
+                               make_rsolve, vacuum_layer)
 from vsmartmom.core.surface import lambertian_surface_layer
 from vsmartmom.scattering.phase import Polarization, compute_Z_moments
 from vsmartmom.util.quadrature import QuadPoints, nearest_point
@@ -46,11 +46,25 @@ class BandRTInputs:
     greeks: list
 
 
-@partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec"))
+@partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
+                                   "solver"))
 def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                   albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
-                  *, i_mu0_n, n_stokes, is_m0, n_spec):
+                  *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu"):
     """One Fourier moment: layer scan + surface. Returns composite layer."""
+    # The doubling recursion amplifies rounding over ~10 iterations/layer:
+    # force true-f32 MXU passes (TPU default would drop to bf16 inputs).
+    with jax.default_matmul_precision("highest"):
+        return _fourier_step_body(
+            tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec, albedo,
+            spectral_albedo, mu0, mu0_node, min_qp_mu, i_mu0_n=i_mu0_n,
+            n_stokes=n_stokes, is_m0=is_m0, n_spec=n_spec, solver=solver)
+
+
+def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
+                       albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
+                       *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu"):
+    rsolve = make_rsolve(solver)
     dtype = tau.dtype
     n = qp.shape[0]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (n_spec, n, n))
@@ -67,8 +81,9 @@ def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
         z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
         added = make_added_layer(
             tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
-            i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye)
-        return interaction(carry, added, eye), None
+            i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye,
+            rsolve=rsolve)
+        return interaction(carry, added, eye, rsolve=rsolve), None
 
     init = vacuum_layer(n_spec, n, dtype)
     comp, _ = jax.lax.scan(scan_body, init,
@@ -77,18 +92,22 @@ def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
     surf = lambertian_surface_layer(
         albedo, n_spec, n_stokes, qp, wt, i0_vec, tau_sum_all[-1], mu0,
         is_m0, dtype, spectral_albedo=spectral_albedo)
-    comp = interaction(comp, surf, eye)
+    comp = interaction(comp, surf, eye, rsolve=rsolve)
     return comp
 
 
 def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 vza, vaz, max_m: int, surface, dtype=jnp.float64,
-                return_composite: bool = False):
+                return_composite: bool = False, solver: Optional[str] = None):
     """Run the full Fourier-moment loop for one band; azimuthally synthesize.
 
     surface: dict like {"type": "LambertianSurfaceScalar", "albedo": 0.1}.
     Returns (R_SFI, T_SFI) of shape (n_vza, n_stokes, nSpec).
     """
+    if solver is None:
+        # LU is fast on CPU (LAPACK); on TPU partial pivoting serializes, so
+        # use the all-matmul Newton-Schulz solve there.
+        solver = "lu" if jax.default_backend() == "cpu" else "schulz"
     n_spec = band.tau.shape[1]
     n = len(quad.qp_mu_n)
     n_stokes = pol.n
@@ -131,7 +150,7 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
             spectral_albedo, jnp.asarray(quad.mu0, dtype),
             jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
             i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
-            n_spec=n_spec)
+            n_spec=n_spec, solver=solver)
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 
