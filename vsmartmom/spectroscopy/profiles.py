@@ -1,0 +1,83 @@
+"""Per-layer absorption optical-depth profiles + HITRAN data resolution.
+
+ref: src/CoreRT/tools/atmo_prof.jl:427-449 (compute_absorption_profile!)
+     src/Artifacts/artifact_helper.jl (lazy HITRAN data download)
+
+Data resolution replaces the reference's Pkg.Artifacts with a plain search
+path: $VSMARTMOM_HITRAN_DIR (or ./data/hitran) holding '<MOL>.par' files,
+with an optional HITRAN-online fetch when network access exists.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from vsmartmom.spectroscopy.hitran import read_hitran
+from vsmartmom.spectroscopy.lut import load_interpolation_model
+from vsmartmom.spectroscopy.voigt import (compute_absorption_cross_section,
+                                          make_hitran_model)
+
+_SEARCH_DIRS = [
+    os.environ.get("VSMARTMOM_HITRAN_DIR", ""),
+    os.path.join(os.getcwd(), "data", "hitran"),
+    os.path.join(os.path.dirname(__file__), "data", "hitran"),
+]
+
+
+def hitran_artifact(molecule: str) -> str:
+    """Locate the HITRAN .par line list for a molecule.
+
+    ref: Artifacts/artifact_helper.jl:20-26. Searches VSMARTMOM_HITRAN_DIR
+    and package data dirs; raises with guidance if absent (no silent
+    network fetch — supply line lists explicitly in air-gapped setups).
+    """
+    for d in _SEARCH_DIRS:
+        if not d:
+            continue
+        for name in (f"{molecule}.par", f"{molecule}.data",
+                     f"hitran_molec_id_{molecule}.par"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                return p
+    raise FileNotFoundError(
+        f"No HITRAN line list found for {molecule!r}. Place '{molecule}.par' "
+        f"in $VSMARTMOM_HITRAN_DIR or ./data/hitran/ (download from "
+        f"hitran.org).")
+
+
+def compute_absorption_profile(tau_abs: np.ndarray, molecule: str,
+                               absorption_params, grid, vmr, profile,
+                               lut_path: Optional[str] = None):
+    """Accumulate tau_abs[nu, iz] += sigma(nu; p_iz, T_iz) * vcd_dry * vmr.
+
+    ref: atmo_prof.jl:427-449. Mutates tau_abs (nSpec, nZ) in place.
+    """
+    n_z = profile.n_layers
+    assert tau_abs.shape[1] == n_z
+    vmr_arr = (np.asarray(vmr) if np.ndim(vmr) > 0
+               else np.full(n_z, float(vmr)))
+    if np.ndim(vmr) > 0:
+        assert len(vmr_arr) == n_z, \
+            "Length of VMR array has to match profile size or be uniform"
+
+    if lut_path is not None:
+        model = load_interpolation_model(lut_path)
+        xsec = lambda p, t: np.asarray(model(grid, p, t))
+    else:
+        # each .par line list holds a single molecule (ref keeps mol=-1)
+        par = hitran_artifact(molecule)
+        ht = read_hitran(par, iso=1,
+                         nu_min=float(np.min(grid)) - absorption_params.wing_cutoff,
+                         nu_max=float(np.max(grid)) + absorption_params.wing_cutoff)
+        model = make_hitran_model(ht, absorption_params.broadening,
+                                  wing_cutoff=absorption_params.wing_cutoff,
+                                  cef=absorption_params.cef, vmr=0.0)
+        xsec = lambda p, t: np.asarray(
+            compute_absorption_cross_section(model, grid, p, t))
+
+    for iz in range(n_z):
+        sigma = xsec(float(profile.p_full[iz]), float(profile.T[iz]))
+        tau_abs[:, iz] += sigma * profile.vcd_dry[iz] * vmr_arr[iz]
+    return tau_abs

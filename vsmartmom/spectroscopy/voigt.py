@@ -1,0 +1,233 @@
+"""Line-by-line absorption cross-section synthesis.
+
+TPU-native re-design of the reference's per-line kernel-launch loop
+(ref: src/Absorption/compute_absorption_cross_section.jl:19-130): all line
+parameters are prepared as vectors, and the lineshape accumulation runs as a
+single jitted lax.scan over line chunks — each chunk evaluates its Faddeeva
+profiles against the whole grid with a wing-cutoff mask and accumulates.
+(A Pallas tile kernel with line bucketing by wavenumber replaces the dense
+chunk sweep for very wide bands; see vsmartmom/pallas/voigt_kernel.py.)
+
+Physics (HITRAN standard):
+  nu* = nu + (p/p_ref) delta_air                      pressure shift
+  gamma_L = (g_air (1-vmr) + g_self vmr) p/p_ref (T_ref/T)^n_air
+  gamma_D = (sqrt(2 ln2 kB/c^2) ) sqrt(T/m) nu        Doppler HWHM
+  S(T) = S_ref Q(T_ref)/Q(T) exp(c2 E''(1/T_ref-1/T))
+         (1-exp(-c2 nu/T))/(1-exp(-c2 nu/T_ref))
+  sigma(g) += S(T) sqrt(ln2/pi)/gamma_D Re w((sqrt(ln2)/gamma_D)(g-nu*) + i y)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsmartmom.spectroscopy import tips
+from vsmartmom.spectroscopy.cef import CEF_REGISTRY
+from vsmartmom.spectroscopy.hitran import HitranTable
+
+# Physical constants (ref: Absorption/constants/constants.jl)
+C2 = 1.4387769                 # second radiation constant [cm K]
+MASS_MOL = 1.66053873e-27      # amu [kg]
+SQRT_LN2_DIV_SQRT_PI = 0.469718639319144059835
+LN2 = 0.6931471805599
+SQRT_LN2 = 0.8325546111577
+SQRT_2LN2 = 1.1774100225
+C_LIGHT = 2.99792458e8
+K_BOLTZ = 1.3806503e-23
+P_REF = 1013.25                # [hPa]
+T_REF = 296.0                  # [K]
+
+
+@dataclasses.dataclass
+class HitranModel:
+    """Cross-section model computed from HITRAN line data.
+
+    ref: Absorption/types.jl:168-182
+    """
+    hitran: HitranTable
+    broadening: str = "Voigt"          # 'Voigt' | 'Lorentz' | 'Doppler'
+    wing_cutoff: float = 40.0          # [cm^-1]
+    vmr: float = 0.0                   # used for self-broadening mix
+    cef: str = "HumlicekWeidemann32SDErrorFunction"
+    # Precomputed per-line static data:
+    _weights: Optional[np.ndarray] = None
+    _spline_c: Optional[np.ndarray] = None   # (nL, 4, nseg) cubic coeffs
+    _spline_x: Optional[np.ndarray] = None   # (nL, nseg+1) breakpoints
+
+    def __post_init__(self):
+        ht = self.hitran
+        self._weights = np.array([tips.mol_weight(m, i)
+                                  for m, i in zip(ht.mol, ht.iso)])
+        # TIPS Q(T) cubic-spline coefficients per unique isotopologue,
+        # gathered per line so the jnp evaluation is a pure gather+poly.
+        pairs = sorted({(int(m), int(i)) for m, i in zip(ht.mol, ht.iso)})
+        splines = {}
+        max_seg = 0
+        for (m, i) in pairs:
+            sp = tips._tq_spline(m, i)
+            splines[(m, i)] = sp
+            max_seg = max(max_seg, sp.c.shape[1])
+        n_l = len(ht)
+        self._spline_c = np.zeros((len(pairs), 4, max_seg))
+        self._spline_x = np.full((len(pairs), max_seg + 1), np.inf)
+        for k, (m, i) in enumerate(pairs):
+            sp = splines[(m, i)]
+            ns = sp.c.shape[1]
+            self._spline_c[k, :, :ns] = sp.c
+            self._spline_x[k, :ns + 1] = sp.x
+            # pad trailing segments with the last breakpoint (flat extrap
+            # never used: T range is validated at call time)
+            self._spline_x[k, ns + 1:] = sp.x[-1]
+        self._pair_idx = np.array(
+            [pairs.index((int(m), int(i)))
+             for m, i in zip(ht.mol, ht.iso)])
+
+
+def make_hitran_model(hitran: HitranTable, broadening: str = "Voigt",
+                      wing_cutoff: float = 40.0, vmr: float = 0.0,
+                      cef: str = "HumlicekWeidemann32SDErrorFunction",
+                      architecture=None) -> HitranModel:
+    """ref: Absorption/make_model_helpers.jl:25-37"""
+    return HitranModel(hitran=hitran, broadening=broadening,
+                       wing_cutoff=wing_cutoff, vmr=vmr, cef=cef)
+
+
+def _eval_spline(c, x, t):
+    """Evaluate natural cubic splines: c (P,4,S), x (P,S+1), t scalar.
+    Returns (P,) values. Differentiable in t."""
+    def one(ck, xk):
+        i = jnp.clip(jnp.searchsorted(xk, t, side="right") - 1, 0,
+                     ck.shape[1] - 1)
+        dt = t - xk[i]
+        return ((ck[0, i] * dt + ck[1, i]) * dt + ck[2, i]) * dt + ck[3, i]
+    return jax.vmap(one)(c, x)
+
+
+@partial(jax.jit, static_argnames=("cef_name", "broadening", "n_grid",
+                                   "chunk"))
+def _xsec_kernel(grid, nu, sw, elower, gamma_air, gamma_self, n_air,
+                 delta_air, weight, pair_idx, spline_c, spline_x,
+                 pressure, temperature, vmr, wing_cutoff,
+                 *, cef_name, broadening, n_grid, chunk=512):
+    """Accumulate all line contributions onto the grid (jitted)."""
+    w_fn = CEF_REGISTRY[cef_name]
+    dtype = grid.dtype
+
+    # --- per-line parameters (vectorized; ref lines :73-102) ---
+    nu_s = nu + pressure / P_REF * delta_air
+    gamma_l = ((gamma_air * (1.0 - vmr) + gamma_self * vmr)
+               * pressure / P_REF * (T_REF / temperature) ** n_air)
+    gamma_d = ((SQRT_2LN2 / C_LIGHT) * jnp.sqrt(K_BOLTZ / MASS_MOL)
+               * jnp.sqrt(temperature) * nu / jnp.sqrt(weight))
+    y = SQRT_LN2 * gamma_l / gamma_d
+
+    # line strength T-correction with TIPS partition-sum ratio
+    q_t = _eval_spline(spline_c, spline_x, temperature)       # (P,)
+    q_ref = _eval_spline(spline_c, spline_x, jnp.asarray(T_REF, dtype))
+    qratio = (q_ref / q_t)[pair_idx]
+    s_corr = (qratio * jnp.exp(C2 * elower * (1.0 / T_REF - 1.0 / temperature))
+              * (-jnp.expm1(-C2 * nu / temperature))
+              / (-jnp.expm1(-C2 * nu / T_REF)))
+    s = sw * jnp.where(elower != -1.0, s_corr, 1.0)
+
+    # --- chunked accumulation over lines ---
+    n_l = nu.shape[0]
+    pad = (-n_l) % chunk
+    def padv(v, fill=0.0):
+        return jnp.pad(v, (0, pad), constant_values=fill)
+    # padded lines get nu far outside any grid -> masked out
+    nu_p = padv(nu_s, fill=-1e30)
+    s_p, y_p, gd_p = padv(s), padv(y, 1.0), padv(gamma_d, 1.0)
+    gl_p = padv(gamma_l, 1.0)
+    n_chunks = (n_l + pad) // chunk
+    shape = (n_chunks, chunk)
+    chunks = (nu_p.reshape(shape), s_p.reshape(shape), y_p.reshape(shape),
+              gd_p.reshape(shape), gl_p.reshape(shape))
+
+    def body(acc, ch):
+        nu_c, s_c, y_c, gd_c, gl_c = ch
+        dx = grid[None, :] - nu_c[:, None]                  # (chunk, nGrid)
+        mask = jnp.abs(dx) <= wing_cutoff
+        if broadening == "Voigt":
+            z = (SQRT_LN2 / gd_c[:, None]) * dx + 1j * y_c[:, None]
+            prof = (SQRT_LN2_DIV_SQRT_PI / gd_c[:, None]
+                    * jnp.real(w_fn(z)))
+        elif broadening == "Lorentz":
+            prof = gl_c[:, None] / (jnp.pi * (gl_c[:, None] ** 2 + dx ** 2))
+        else:  # Doppler
+            prof = (SQRT_LN2_DIV_SQRT_PI / gd_c[:, None]
+                    * jnp.exp(-LN2 * (dx / gd_c[:, None]) ** 2))
+        contrib = jnp.where(mask, s_c[:, None] * prof, 0.0)
+        return acc + contrib.sum(axis=0), None
+
+    acc0 = jnp.zeros(n_grid, dtype)
+    acc, _ = jax.lax.scan(body, acc0, chunks)
+    return acc
+
+
+def compute_absorption_cross_section(model: HitranModel, grid, pressure,
+                                     temperature, wavelength_flag=False,
+                                     dtype=jnp.float64):
+    """Cross-section [cm^2/molec] on the given wavenumber (cm^-1) or
+    wavelength (nm, with wavelength_flag) grid.
+
+    ref: compute_absorption_cross_section.jl:19-130
+    """
+    grid = np.asarray(grid, dtype=np.float64)
+    wl_grid = grid
+    if wavelength_flag:
+        grid = np.sort(1e7 / grid)
+    ht = model.hitran
+
+    # restrict to lines within (grid_min - cutoff, grid_max + cutoff)
+    lo = grid.min() - model.wing_cutoff
+    hi = grid.max() + model.wing_cutoff
+    sel = (ht.nu > lo) & (ht.nu < hi)
+    if not np.any(sel):
+        return jnp.zeros(len(grid), dtype)
+
+    # Validate TIPS T range (host-side; mirrors reference assertion)
+    if isinstance(temperature, (int, float, np.floating)):
+        for m, i in {(int(a), int(b))
+                     for a, b in zip(ht.mol[sel], ht.iso[sel])}:
+            tmin, tmax = tips.tips_t_range(m, i)
+            if not (tmin < float(temperature) < tmax):
+                raise ValueError(
+                    f"TIPS2017: T ({temperature}) must be between {tmin} K "
+                    f"and {tmax} K.")
+
+    to = lambda v: jnp.asarray(v[sel], dtype)
+    res = _xsec_kernel(
+        jnp.asarray(grid, dtype), to(ht.nu), to(ht.sw), to(ht.elower),
+        to(ht.gamma_air), to(ht.gamma_self), to(ht.n_air), to(ht.delta_air),
+        to(model._weights), jnp.asarray(model._pair_idx[sel]),
+        jnp.asarray(model._spline_c, dtype),
+        jnp.asarray(model._spline_x, dtype),
+        jnp.asarray(pressure, dtype), jnp.asarray(temperature, dtype),
+        jnp.asarray(model.vmr, dtype), jnp.asarray(model.wing_cutoff, dtype),
+        cef_name=model.cef, broadening=model.broadening, n_grid=len(grid))
+    if wavelength_flag:
+        return res[::-1]
+    return res
+
+
+def absorption_cross_section(model: HitranModel, grid, pressure, temperature,
+                             wavelength_flag=False, autodiff=False):
+    """User-level wrapper; with autodiff=True also returns the Jacobian
+    d sigma / d(p, T) via forward-mode AD (ref: autodiff_helper.jl:17-53)."""
+    if not autodiff:
+        return compute_absorption_cross_section(
+            model, grid, pressure, temperature, wavelength_flag)
+
+    def f(x):
+        return compute_absorption_cross_section(
+            model, grid, x[0], x[1], wavelength_flag)
+    x0 = jnp.asarray([pressure, temperature], jnp.float64)
+    value = f(x0)
+    jac = jax.jacfwd(f)(x0)
+    return value, jac
