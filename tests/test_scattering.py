@@ -105,3 +105,56 @@ def test_phase_function_distribution():
     assert np.sum(w_mu * p) / 2 == pytest.approx(1.0, rel=1e-8)
     assert c_sca <= c_ext * (1 + 1e-12)
     assert 0.0 < g < 1.0
+
+
+def test_wigner3j_vs_sympy():
+    """Wigner 3j (all three PCW configs) vs sympy's exact values, random
+    (m, n, l) up to j = 120 (ref: test_Scattering.jl:2-65 vs
+    WignerSymbols.jl up to j = 300; sympy is slower, so fewer/smaller)."""
+    from sympy.physics.wigner import wigner_3j
+
+    from vsmartmom.scattering.wigner import wigner3j
+
+    rng = np.random.default_rng(7)
+    configs = [(-1, 1, 0), (-1, -1, 2), (0, 0, 0)]
+    for _ in range(60):
+        j2 = int(rng.integers(1, 120))
+        j3 = int(rng.integers(0, 120))
+        j1 = int(rng.integers(0, j2 + j3 + 2))
+        m1, m2, m3 = configs[rng.integers(0, 3)]
+        if abs(m3) > j3:
+            continue
+        truth = float(wigner_3j(j1, j2, j3, m1, m2, m3))
+        assert wigner3j(j1, j2, j3, m1, m2, m3) == pytest.approx(
+            truth, rel=1e-9, abs=1e-12)
+
+
+def test_wigner_table_save_load(tmp_path):
+    from vsmartmom.scattering.wigner import (compute_wigner_values,
+                                             load_wigner_values,
+                                             save_wigner_values)
+    A, B = compute_wigner_values(6)
+    path = str(tmp_path / "wigner.npz")
+    save_wigner_values(path, A, B)
+    A2, B2 = load_wigner_values(path)
+    np.testing.assert_array_equal(A, A2)
+    np.testing.assert_array_equal(B, B2)
+
+
+def test_pcw_matches_nai2():
+    """The two independent Mie decompositions must agree
+    (ref: test_Scattering.jl:68-124; here both sides are computed live)."""
+    from vsmartmom.scattering.pcw import compute_aerosol_optical_properties_pcw
+
+    aero = Aerosol(mu=0.2, sigma=1.8, n_r=1.4, n_i=0.003)
+    o_nai2 = compute_aerosol_optical_properties(aero, 0.55, 5.0, 500)
+    o_pcw = compute_aerosol_optical_properties_pcw(aero, 0.55, 5.0, 500)
+    assert o_pcw.ssa == pytest.approx(o_nai2.ssa, rel=1e-9)
+    assert o_pcw.k == pytest.approx(o_nai2.k, rel=1e-9)
+    for name in ("alpha", "beta", "gamma", "delta", "epsilon", "zeta"):
+        a = getattr(o_nai2.greek_coefs, name)
+        b = getattr(o_pcw.greek_coefs, name)
+        n = min(len(a), len(b))
+        num = np.linalg.norm(a[:n] - b[:n])
+        den = max(np.linalg.norm(b[:n]), 1e-30)
+        assert num / den < 1e-8, (name, num / den)
