@@ -251,14 +251,21 @@ def parameters_from_yaml(path: str) -> RTParameters:
             raise ValueError(f"Unknown surface type {name}")
         if name == "LambertianSurfaceScalar":
             surfaces.append({"type": name, "albedo": args[0]})
+        elif name == "LambertianSurfaceSpectrum":
+            surfaces.append({"type": name, "albedo": args[0]})
         elif name == "LambertianSurfaceLegendre":
-            surfaces.append({"type": name, "coeffs": args[0] if args else []})
+            # accepts both Legendre([a, b, ...]) and Legendre(a, b, ...)
+            coeff = (args[0] if len(args) == 1 and isinstance(args[0], list)
+                     else list(args)) or [0.0]
+            surfaces.append({"type": name, "legendre_coeff": coeff})
         elif name == "rpvSurfaceScalar":
+            # field order ref: CoreRT/types.jl:320-329 (rho0, rho_c, k, theta)
             surfaces.append({"type": name, "rho0": args[0], "rho_c": args[1],
-                             "k": args[2], "big_theta": args[3]})
+                             "k": args[2], "theta": args[3]})
         elif name == "RossLiSurfaceScalar":
-            surfaces.append({"type": name, "f_iso": args[0],
-                             "f_vol": args[1], "f_geo": args[2]})
+            # field order ref: CoreRT/types.jl:331-338 (fvol, fgeo, fiso)
+            surfaces.append({"type": name, "fvol": args[0],
+                             "fgeo": args[1], "fiso": args[2]})
         else:
             surfaces.append({"type": name, "args": args})
 

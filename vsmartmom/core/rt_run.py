@@ -23,7 +23,8 @@ import numpy as np
 
 from vsmartmom.core.rt import (LayerRT, interaction, make_added_layer,
                                make_rsolve, vacuum_layer)
-from vsmartmom.core.surface import lambertian_surface_layer
+from vsmartmom.core.surface import (brdf_surface_layer,
+                                    lambertian_surface_layer)
 from vsmartmom.scattering.phase import Polarization, compute_Z_moments
 from vsmartmom.util.quadrature import QuadPoints, nearest_point
 
@@ -50,6 +51,7 @@ class BandRTInputs:
                                    "solver"))
 def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                   albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
+                  rho_brdf=None,
                   *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu"):
     """One Fourier moment: layer scan + surface. Returns composite layer."""
     # The doubling recursion amplifies rounding over ~10 iterations/layer:
@@ -57,12 +59,14 @@ def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
     with jax.default_matmul_precision("highest"):
         return _fourier_step_body(
             tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec, albedo,
-            spectral_albedo, mu0, mu0_node, min_qp_mu, i_mu0_n=i_mu0_n,
+            spectral_albedo, mu0, mu0_node, min_qp_mu, rho_brdf,
+            i_mu0_n=i_mu0_n,
             n_stokes=n_stokes, is_m0=is_m0, n_spec=n_spec, solver=solver)
 
 
 def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                        albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
+                       rho_brdf=None,
                        *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu"):
     rsolve = make_rsolve(solver)
     dtype = tau.dtype
@@ -89,9 +93,13 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
     comp, _ = jax.lax.scan(scan_body, init,
                            (tau, omega, zw, tau_sum_all[:-1]))
 
-    surf = lambertian_surface_layer(
-        albedo, n_spec, n_stokes, qp, wt, i0_vec, tau_sum_all[-1], mu0,
-        is_m0, dtype, spectral_albedo=spectral_albedo)
+    if rho_brdf is not None:
+        surf = brdf_surface_layer(rho_brdf, n_spec, qp, wt, i0_vec,
+                                  tau_sum_all[-1], mu0, dtype)
+    else:
+        surf = lambertian_surface_layer(
+            albedo, n_spec, n_stokes, qp, wt, i0_vec, tau_sum_all[-1], mu0,
+            is_m0, dtype, spectral_albedo=spectral_albedo)
     comp = interaction(comp, surf, eye, rsolve=rsolve)
     return comp
 
@@ -122,10 +130,19 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
 
     albedo = 0.0
     spectral_albedo = None
+    is_brdf = False
     if surface["type"] == "LambertianSurfaceScalar":
         albedo = float(surface["albedo"])
     elif surface["type"] == "LambertianSurfaceSpectrum":
         spectral_albedo = jnp.asarray(surface["albedo"], dtype)
+    elif surface["type"] == "LambertianSurfaceLegendre":
+        from vsmartmom.core.brdf import legendre_spectral_albedo
+        spectral_albedo = jnp.asarray(
+            legendre_spectral_albedo(surface["legendre_coeff"], n_spec),
+            dtype)
+    elif surface["type"] in ("rpvSurfaceScalar", "RossLiSurfaceScalar"):
+        from vsmartmom.core.brdf import brdf_fourier_matrix
+        is_brdf = True
     else:
         raise NotImplementedError(surface["type"])
 
@@ -143,12 +160,20 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
         z_pp_c = to_dev(np.stack(z_pp_list))
         z_mp_c = to_dev(np.stack(z_mp_list))
 
+        # brdf_fourier_matrix already carries the (2/pi) integral factor
+        # common to every moment (the reference splits it as ff * 2 between
+        # reflectance() and create_surface_layer!, same total).
+        rho_brdf = (to_dev(brdf_fourier_matrix(surface, quad.qp_mu, m,
+                                               n_stokes))
+                    if is_brdf else None)
+
         comp = _fourier_step(
             to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
             z_pp_c, z_mp_c, to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n),
             to_dev(d_vec), to_dev(i0_vec), jnp.asarray(albedo, dtype),
             spectral_albedo, jnp.asarray(quad.mu0, dtype),
             jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
+            rho_brdf,
             i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
             n_spec=n_spec, solver=solver)
         if return_composite:

@@ -51,3 +51,26 @@ def lambertian_surface_layer(albedo, n_spec, n_stokes, qp, wt, i0_vec,
     r_mp = jnp.broadcast_to(r_mp, (n_spec, n, n))
     return LayerRT(r_mp=r_mp, r_pm=zero_m, t_pp=eye, t_mm=eye,
                    j_p=j_p, j_m=j_m)
+
+
+def brdf_surface_layer(rho_pre, n_spec, qp, wt, i0_vec, tau_sum, mu0,
+                       dtype) -> LayerRT:
+    """Generic BRDF surface as an added layer, from the pre-weight Fourier
+    reflection matrix rho_pre (N, N) of the current moment m.
+
+    r^-+ = rho_pre diag(qp wt); SFI sources use the unweighted matrix at the
+    solar node (ref: Surfaces/rpv_surface.jl create_surface_layer!:28-64).
+    Unlike a Lambertian, BRDF moments m > 0 are generally nonzero.
+    """
+    n = qp.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (n_spec, n, n))
+    zero_m = jnp.zeros((n_spec, n, n), dtype)
+    rho_pre = jnp.asarray(rho_pre, dtype)
+    atten = jnp.exp(-tau_sum / mu0)[:, None]
+
+    j_p = jnp.broadcast_to(i0_vec, (n_spec, n)) * atten
+    j_m = mu0 * (rho_pre @ i0_vec)[None, :] * atten
+
+    r_mp = jnp.broadcast_to(rho_pre * (qp * wt)[None, :], (n_spec, n, n))
+    return LayerRT(r_mp=r_mp, r_pm=zero_m, t_pp=eye, t_mm=eye,
+                   j_p=j_p, j_m=j_m)
