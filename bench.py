@@ -35,7 +35,7 @@ def main():
          if isinstance(v, np.ndarray)}
 
     def run(is_m0):
-        comp = _fourier_step(
+        comp, _ = _fourier_step(
             a["tau"], a["omega"], a["zw"], a["z_pp_c"], a["z_mp_c"],
             a["qp"], a["wt"], a["d_vec"], a["i0_vec"],
             args["albedo"], None, args["mu0"], args["mu0_node"],

@@ -94,3 +94,39 @@ def test_against_natraj():
     # Stricter supplemental check: absolute agreement everywhere
     assert np.max(np.abs(Q_t - Q_m)) < 6e-4
     assert np.max(np.abs(U_t - U_m)) < 6e-4
+
+
+def test_hdr_bhr_outputs():
+    """Hemispheric outputs (RAMI): for a Lambertian surface the
+    bi-hemispheric ratio equals the albedo (up to the hemispheric-quadrature
+    approximation of the half-range integral), independent of tau; at
+    tau -> 0 the surface-leaving hdr equals the TOA radiance."""
+    from vsmartmom.core.rt_run import BandRTInputs, rt_run_band
+    from vsmartmom.scattering.phase import Polarization, get_greek_rayleigh
+    from vsmartmom.util.quadrature import rt_set_streams
+
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 12, 45.0, [0.0, 30.0],
+                          pol.n)
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.25}
+    for tau, hdr_is_toa in ((1e-7, True), (0.3, False)):
+        band = BandRTInputs(tau=np.full((1, 2), tau),
+                            omega=np.ones((1, 2)), zw=np.ones((1, 1, 2)),
+                            greeks=[get_greek_rayleigh(0.0)])
+        R, T, hdr, bhr_uw, bhr_dw = rt_run_band(
+            pol, quad, band, [0.0, 30.0], [0.0, 0.0], 3, surf,
+            return_hdr=True)
+        np.testing.assert_allclose(bhr_uw / bhr_dw, 0.25, rtol=0.01)
+        if hdr_is_toa:
+            np.testing.assert_allclose(hdr, R, rtol=1e-6)
+        else:
+            assert np.all(hdr[:, 0, :] < R[:, 0, :])  # atmosphere adds path radiance
+
+    # black surface: no surface-leaving radiance
+    band = BandRTInputs(tau=np.full((1, 2), 0.3), omega=np.ones((1, 2)),
+                        zw=np.ones((1, 1, 2)),
+                        greeks=[get_greek_rayleigh(0.0)])
+    _, _, hdr0, bhr_uw0, _ = rt_run_band(
+        pol, quad, band, [0.0, 30.0], [0.0, 0.0], 3,
+        {"type": "LambertianSurfaceScalar", "albedo": 0.0}, return_hdr=True)
+    assert np.max(np.abs(hdr0)) < 1e-14 and np.max(np.abs(bhr_uw0)) < 1e-14

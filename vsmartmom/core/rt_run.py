@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vsmartmom.core.rt import (LayerRT, interaction, make_added_layer,
+from vsmartmom.core.rt import (LayerRT, bmv, interaction, make_added_layer,
                                make_rsolve, vacuum_layer)
 from vsmartmom.core.surface import (brdf_surface_layer,
                                     lambertian_surface_layer)
@@ -101,16 +101,27 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             albedo, n_spec, n_stokes, qp, wt, i0_vec, tau_sum_all[-1], mu0,
             is_m0, dtype, spectral_albedo=spectral_albedo)
     comp = interaction(comp, surf, eye, rsolve=rsolve)
-    return comp
+
+    # Surface-leaving radiance for hemispheric (HDRF/BHR) outputs:
+    # upwelling just above the surface = surface reflection of the full
+    # downwelling field (diffuse, all orders) + direct-beam reflection.
+    # ref: CoreKernel/interaction_hdrf.jl:9-45 (called post surface
+    # interaction, rt_run.jl:187-196)
+    hdr_j_m = bmv(surf.r_mp, comp.j_p) + surf.j_m
+    return comp, hdr_j_m
 
 
 def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 vza, vaz, max_m: int, surface, dtype=jnp.float64,
-                return_composite: bool = False, solver: Optional[str] = None):
+                return_composite: bool = False, solver: Optional[str] = None,
+                return_hdr: bool = False):
     """Run the full Fourier-moment loop for one band; azimuthally synthesize.
 
     surface: dict like {"type": "LambertianSurfaceScalar", "albedo": 0.1}.
-    Returns (R_SFI, T_SFI) of shape (n_vza, n_stokes, nSpec).
+    Returns (R_SFI, T_SFI) of shape (n_vza, n_stokes, nSpec); with
+    ``return_hdr`` also (hdr, bhr_uw, bhr_dw): the hemispheric-directional
+    surface-leaving radiance per VZA plus the bi-hemispheric up/downwelling
+    fluxes at the surface (ref: rt_run.jl:187-226 RAMI outputs).
     """
     if solver is None:
         # LU is fast on CPU (LAPACK); on TPU partial pivoting serializes, so
@@ -148,6 +159,9 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
 
     R_SFI = np.zeros((len(vza), n_stokes, n_spec))
     T_SFI = np.zeros((len(vza), n_stokes, n_spec))
+    hdr = np.zeros((len(vza), n_stokes, n_spec))
+    bhr_uw = np.zeros(n_spec)
+    bhr_dw = np.zeros(n_spec)
 
     to_dev = lambda x: jnp.asarray(x, dtype)
     comps = []
@@ -167,7 +181,7 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                                                n_stokes))
                     if is_brdf else None)
 
-        comp = _fourier_step(
+        comp, hdr_j_m_dev = _fourier_step(
             to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
             z_pp_c, z_mp_c, to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n),
             to_dev(d_vec), to_dev(i0_vec), jnp.asarray(albedo, dtype),
@@ -182,6 +196,7 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
         # --- azimuthal synthesis (ref: tools/postprocessing_vza.jl:9-60) ---
         j_m = np.asarray(comp.j_m)   # (nSpec, N)
         j_p = np.asarray(comp.j_p)
+        hdr_j_m = np.asarray(hdr_j_m_dev) if return_hdr else None
         weight = 0.5 if m == 0 else 1.0
         for i in range(len(vza)):
             i_mu = nearest_point(quad.qp_mu, np.cos(np.deg2rad(vza[i])))
@@ -191,7 +206,23 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
             big_cs = weight * np.array([cm, cm, sm, sm][:n_stokes])
             R_SFI[i] += big_cs[:, None] * j_m[:, sl].T
             T_SFI[i] += big_cs[:, None] * j_p[:, sl].T
+            if return_hdr:
+                hdr[i] += big_cs[:, None] * hdr_j_m[:, sl].T
 
+        if return_hdr and m == 0:
+            # Bi-hemispheric fluxes: mu-weighted quadrature sums of the
+            # intensity components, + direct beam for the downwelling
+            # (ref: interaction_hdrf.jl:27-45)
+            qw = (quad.qp_mu_n * quad.wt_mu_n)[::n_stokes]
+            bhr_uw[:] = hdr_j_m[:, ::n_stokes] @ qw
+            i_sol = quad.i_mu0_n
+            direct = i0_vec[i_sol] * np.exp(
+                -np.asarray(band.tau).sum(axis=0) / mu0_node) * mu0_node
+            bhr_dw[:] = j_p[:, ::n_stokes] @ qw + direct
+
+    out = [R_SFI, T_SFI]
+    if return_hdr:
+        out += [hdr, bhr_uw, bhr_dw]
     if return_composite:
-        return R_SFI, T_SFI, comps
-    return R_SFI, T_SFI
+        out.append(comps)
+    return tuple(out)
