@@ -1,0 +1,454 @@
+"""Inelastic (rotational-Raman) doubling-adding RT core.
+
+TPU-native design. The reference implements ~2000 lines of index-shifted
+CUDA kernels for the Raman-coupled doubling/adding equations
+(ref: src/CoreRT/CoreKernel/{elemental,doubling,interaction}_inelastic.jl).
+The key observation used here: the ``ie*`` arrays are *first-order
+perturbations*, and every one of those update rules is exactly the elastic
+adding algebra applied to upper-triangular 2x2 block operators
+
+    O = [[E(n1), ie(n1, dn)], [0, E(n0)]],  n0 = n1 + shift(dn)
+
+whose diagonal blocks are the elastic operators at the output (n1) and
+source (n0) wavelengths and whose off-diagonal block is the Raman coupling.
+Block products/inverses give the mixed-wavelength rules mechanically:
+
+    (X Y)_ie   = X_1 Y_ie + X_ie Y_0
+    ((I-M)^-1)_ie = (I-M_1)^-1 M_ie (I-M_0)^-1
+
+so the whole inelastic core is ~10 algebraic lines per operation, vmapped
+over the Raman shift axis, with the "n0" operands obtained by rolling the
+elastic arrays along the spectral axis. (The reference hand-expanded these
+products; two of its expansions contain ordering/sign slips on commutator
+terms — doubling_inelastic.jl:104-118, elemental_inelastic.jl:131-136 —
+which the systematic block algebra avoids; we verify against brute-force
+composition of the full (2N x 2N) block matrices in tests.)
+
+Shapes: elastic arrays (nSpec, N, N) / (nSpec, N); ie arrays carry a
+leading Raman-shift axis (nR, nSpec, N, N) / (nR, nSpec, N).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from vsmartmom.core.rt import (LayerRT, bmm, bmv, doubling_number, elemental,
+                               interaction, make_rsolve, vacuum_layer)
+
+
+class IELayer(NamedTuple):
+    """First-order Raman coupling operators, leading axis = Raman shift."""
+    r_mp: jnp.ndarray
+    r_pm: jnp.ndarray
+    t_pp: jnp.ndarray
+    t_mm: jnp.ndarray
+    j_p: jnp.ndarray
+    j_m: jnp.ndarray
+
+
+def zero_ie(n_r: int, n_spec: int, n: int, dtype) -> IELayer:
+    zm = jnp.zeros((n_r, n_spec, n, n), dtype)
+    zv = jnp.zeros((n_r, n_spec, n), dtype)
+    return IELayer(zm, zm, zm, zm, zv, zv)
+
+
+def roll0(x, s):
+    """x evaluated at source index n + s (zero outside the grid)."""
+    n = x.shape[0]
+    y = jnp.roll(x, -s, axis=0)
+    idx = jnp.arange(n)
+    valid = (idx + s >= 0) & (idx + s < n)
+    return jnp.where(valid.reshape((n,) + (1,) * (x.ndim - 1)), y, 0.0)
+
+
+def roll0_id(a, s, eye):
+    """Like roll0 for (I - B)-type matrices: identity outside the grid,
+    keeping the batched solves nonsingular (the ie operands there are zero
+    anyway, so the result is unaffected)."""
+    n = a.shape[0]
+    y = jnp.roll(a, -s, axis=0)
+    idx = jnp.arange(n)
+    valid = (idx + s >= 0) & (idx + s < n)
+    return jnp.where(valid[:, None, None], y, eye)
+
+
+# --- inelastic elemental (single scattering) --------------------------------
+
+def ie_elemental(shift, w_shift, dtau, f_rayl, tau_sum, z_pp_r, z_mp_r,
+                 qp, wct2, wct02, i0_vec, i_mu0_n, n_stokes, mu0_node):
+    """Raman-coupled single-scattering operators for ONE shift dn.
+
+    Two-wavelength generalization of the elastic elemental expressions:
+    incident light attenuates with dtau0 (source wavelength), scattered
+    light with dtau1 (ref: elemental_inelastic.jl:93-162, 320-383; smooth
+    equal-dtau limits implemented with expm1 instead of branch thresholds).
+    Returns (ier_mp, iet_pp, iej_p, iej_m) for output wavelengths n1.
+    """
+    dt1 = dtau[:, None, None]
+    dt0_s = roll0(dtau, shift)
+    f0 = roll0(f_rayl * w_shift, shift)       # coupling strength at source
+    dt0 = dt0_s[:, None, None]
+    cpl = f0[:, None, None]
+    mu_i = qp[:, None]
+    mu_j = qp[None, :]
+    eye_b = jnp.eye(qp.shape[0], dtype=bool)
+    col_mask = wct2 > 1e-8
+
+    # R^-+: cpl Z^-+ (mu_j dt0 / (mu_i dt0 + mu_j dt1)) (1 - e^{-dt1/mu_i - dt0/mu_j}) w_j
+    denom_r = mu_i * dt0 + mu_j * dt1
+    r_ie = (cpl * z_mp_r * (mu_j * dt0 / jnp.where(denom_r == 0, 1.0,
+                                                   denom_r))
+            * (-jnp.expm1(-(dt1 / mu_i + dt0 / mu_j)))
+            * wct2[None, None, :])
+    r_ie = jnp.where(col_mask[None, None, :], r_ie, 0.0)
+
+    # T^++ off-diagonal: cpl Z^++ mu_j dt0 (e^{-dt1/mu_i} - e^{-dt0/mu_j})
+    #                    / (mu_i dt0 - mu_j dt1) w_j
+    num_t = jnp.exp(-dt1 / mu_i) - jnp.exp(-dt0 / mu_j)
+    den_t = mu_i * dt0 - mu_j * dt1
+    small = jnp.abs(den_t) < 1e-30
+    t_off = (cpl * z_pp_r * mu_j * dt0
+             * jnp.where(small, 0.0, num_t / jnp.where(small, 1.0, den_t))
+             * wct2[None, None, :])
+    # diagonal (mu_i == mu_j): smooth limit dt0 (e^{-dt1/mu} - e^{-dt0/mu})
+    #                          / (dt0 - dt1) -> (dt0/mu) e^{-dt0/mu}
+    dd = (dt0 - dt1) / mu_i
+    ratio = jnp.where(jnp.abs(dd) > 1e-10,
+                      jnp.expm1(dd) / jnp.where(jnp.abs(dd) > 1e-10, dd, 1.0),
+                      1.0 + dd / 2.0)
+    t_diag = cpl * z_pp_r * (dt0 / mu_i) * jnp.exp(-dt0 / mu_i) * ratio \
+        * wct2[None, None, :]
+    same_mu = mu_i == mu_j
+    t_ie = jnp.where(same_mu[None, :, :],
+                     jnp.where(eye_b[None, :, :], t_diag, 0.0), t_off)
+    t_ie = jnp.where(col_mask[None, None, :], t_ie, 0.0)
+
+    # --- SFI sources ---
+    n_spec = dtau.shape[0]
+    z_pp_i0 = z_pp_r @ i0_vec                 # (N,)
+    z_mp_i0 = z_mp_r @ i0_vec
+    idx = jnp.arange(qp.shape[0])
+    in_block = (idx >= i_mu0_n) & (idx < i_mu0_n + n_stokes)
+
+    mu_iv = qp[None, :]
+    dt1v = dtau[:, None]
+    dt0v = dt0_s[:, None]
+    cplv = f0[:, None]
+
+    # in-block: dt0 (e^{-dt1/mu} - e^{-dt0/mu}) / (dt0 - dt1)
+    ddv = (dt0v - dt1v) / mu_iv
+    ratio_v = jnp.where(jnp.abs(ddv) > 1e-10,
+                        jnp.expm1(ddv) / jnp.where(jnp.abs(ddv) > 1e-10,
+                                                   ddv, 1.0),
+                        1.0 + ddv / 2.0)
+    jp_in = (dt0v / mu_iv) * jnp.exp(-dt0v / mu_iv) * ratio_v
+    # out-of-block: mu0 dt0 (e^{-dt1/mu_i} - e^{-dt0/mu0}) / (mu_i dt0 - mu0 dt1)
+    num_j = jnp.exp(-dt1v / mu_iv) - jnp.exp(-dt0v / mu0_node)
+    den_j = mu_iv * dt0v - mu0_node * dt1v
+    small_j = jnp.abs(den_j) < 1e-30
+    jp_out = mu0_node * dt0v * jnp.where(
+        small_j, 0.0, num_j / jnp.where(small_j, 1.0, den_j))
+    iej_p = (wct02 * cplv * z_pp_i0[None, :]
+             * jnp.where(in_block[None, :], jp_in, jp_out))
+
+    denom_m = mu_iv * dt0v + mu0_node * dt1v
+    iej_m = (wct02 * cplv * z_mp_i0[None, :]
+             * (mu0_node * dt0v / jnp.where(denom_m == 0, 1.0, denom_m))
+             * (-jnp.expm1(-(dt1v / mu_iv + dt0v / mu0_node))))
+
+    atten = jnp.exp(-roll0(tau_sum, shift) / mu0_node)[:, None]
+    return r_ie, t_ie, iej_p * atten, iej_m * atten
+
+
+# --- Raman-coupled doubling -------------------------------------------------
+
+def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
+                   eye, rsolve):
+    """Joint elastic + first-order-Raman doubling (flipped space).
+
+    Elastic recursion identical to rt.doubling; ie updates are the
+    off-diagonal blocks of the same algebra (see module docstring).
+    """
+    def body(_, state):
+        r, t, jp, jm, ek, ier, iet, iejp, iejm = state
+        a = eye - bmm(r, r)
+        tt = rsolve(t, a)
+        j1p = jp * ek[:, None]
+        j1m = jm * ek[:, None]
+        u1 = jp + bmv(r, j1m)
+        u2 = j1m + bmv(r, jp)
+
+        def one_shift(s, ier_s, iet_s, iejp_s, iejm_s):
+            a0 = roll0_id(a, s, eye)
+            t0 = roll0(t, s)
+            r0 = roll0(r, s)
+            rr_off = bmm(r, ier_s) + bmm(ier_s, r0)
+            tt_off = rsolve(bmm(tt, rr_off) + iet_s, a0)
+
+            ier_n = ier_s + bmm(tt, bmm(r, iet_s) + bmm(ier_s, t0)) \
+                + bmm(tt_off, bmm(r0, t0))
+            iet_n = bmm(tt, iet_s) + bmm(tt_off, t0)
+
+            iej1p = iejp_s * ek[:, None]
+            iej1m = iejm_s * ek[:, None]
+            u1_off = iejp_s + bmv(r, iej1m) + bmv(ier_s, roll0(j1m, s))
+            u2_off = iej1m + bmv(r, iejp_s) + bmv(ier_s, roll0(jp, s))
+            iejp_n = iej1p + bmv(tt, u1_off) + bmv(tt_off, roll0(u1, s))
+            iejm_n = iejm_s + bmv(tt, u2_off) + bmv(tt_off, roll0(u2, s))
+            return ier_n, iet_n, iejp_n, iejm_n
+
+        ier, iet, iejp, iejm = jax.vmap(one_shift)(shifts, ier, iet,
+                                                   iejp, iejm)
+
+        jm = jm + bmv(tt, u2)
+        jp = j1p + bmv(tt, u1)
+        r = r + bmm(tt, bmm(r, t))
+        t = bmm(tt, t)
+        return (r, t, jp, jm, ek * ek, ier, iet, iejp, iejm)
+
+    state = (r, t, jp, jm, ek, ier, iet, iejp, iejm)
+    state = lax.fori_loop(0, ndoubl, body, state)
+    return state
+
+
+def raman_make_added_layer(tau, omega, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum,
+                           f_rayl, shifts, w_shifts, qp, wct2, wct02, i0_vec,
+                           i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
+                           min_qp_mu, eye, rsolve):
+    """One atmospheric layer: elastic + Raman elemental, joint doubling.
+
+    ref: rt_kernel.jl:278-343 (RRS path). Returns (LayerRT, IELayer).
+    """
+    dtype = tau.dtype
+    tau_scat_max = jnp.max(tau * omega)
+    dtau_max = jnp.minimum(tau_scat_max, 0.001 * min_qp_mu)
+    ndoubl = doubling_number(dtau_max, tau_scat_max)
+    scale = 2.0 ** ndoubl.astype(dtype)
+    dtau = tau / scale
+    expk = jnp.exp(-dtau / mu0)
+
+    r_mp, t_pp, j_p, j_m = elemental(
+        dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
+        i0_vec, i_mu0_n, n_stokes, mu0_node)
+
+    def one_shift(s, w):
+        return ie_elemental(s, w, dtau, f_rayl, tau_sum, z_pp_r, z_mp_r,
+                            qp, wct2, wct02, i0_vec, i_mu0_n, n_stokes,
+                            mu0_node)
+    ier, iet, iejp, iejm = jax.vmap(one_shift)(shifts, w_shifts)
+
+    # D-flip, joint doubling, unflip (rows live on the output side).
+    dv = d_vec[None, :, None]
+    dvv = d_vec[None, :]
+    r_f = dv * r_mp
+    jm_f = dvv * j_m
+    ier_f = dv[None] * ier
+    iejm_f = dvv[None] * iejm
+    r_f, t_pp, j_p, jm_f, _, ier_f, iet, iejp, iejm_f = raman_doubling(
+        r_f, t_pp, j_p, jm_f, expk, ier_f, iet, iejp, iejm_f, shifts,
+        ndoubl, eye, rsolve)
+    r_mp = dv * r_f
+    j_m = dvv * jm_f
+    ier = dv[None] * ier_f
+    iejm = dvv[None] * iejm_f
+
+    sgn = d_vec[None, :, None] * d_vec[None, None, :]
+    elastic = LayerRT(r_mp=r_mp, r_pm=sgn * r_mp, t_pp=t_pp,
+                      t_mm=sgn * t_pp, j_p=j_p, j_m=j_m)
+    ie = IELayer(r_mp=ier, r_pm=sgn[None] * ier, t_pp=iet,
+                 t_mm=sgn[None] * iet, j_p=iejp, j_m=iejm)
+    return elastic, ie
+
+
+# --- Raman-coupled interaction (adding) -------------------------------------
+
+def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
+    """Compose composite (top) with added (bottom), elastic + first order.
+
+    Off-diagonal block algebra of rt.interaction
+    (ref: interaction_inelastic.jl:230-342).
+    """
+    a1 = eye - bmm(added.r_mp, comp.r_pm)
+    t01 = rsolve(comp.t_mm, a1)
+    v1 = bmv(added.r_mp, comp.j_p) + added.j_m
+    w1 = bmm(added.r_mp, comp.t_pp)
+
+    a2 = eye - bmm(comp.r_pm, added.r_mp)
+    t21 = rsolve(added.t_pp, a2)
+    v2 = comp.j_p + bmv(comp.r_pm, added.j_m)
+    w2 = bmm(comp.r_pm, added.t_mm)
+
+    def one_shift(s, c_ie, a_ie):
+        m1_off = bmm(a_ie.r_mp, roll0(comp.r_pm, s)) + bmm(added.r_mp,
+                                                           c_ie.r_pm)
+        t01_off = rsolve(bmm(t01, m1_off) + c_ie.t_mm, roll0_id(a1, s, eye))
+        v1_off = (bmv(a_ie.r_mp, roll0(comp.j_p, s))
+                  + bmv(added.r_mp, c_ie.j_p) + a_ie.j_m)
+        iejm = c_ie.j_m + bmv(t01, v1_off) + bmv(t01_off, roll0(v1, s))
+        w1_off = bmm(a_ie.r_mp, roll0(comp.t_pp, s)) + bmm(added.r_mp,
+                                                           c_ie.t_pp)
+        ier_mp = c_ie.r_mp + bmm(t01, w1_off) + bmm(t01_off, roll0(w1, s))
+        iet_mm = bmm(t01, a_ie.t_mm) + bmm(t01_off, roll0(added.t_mm, s))
+
+        m2_off = bmm(c_ie.r_pm, roll0(added.r_mp, s)) + bmm(comp.r_pm,
+                                                            a_ie.r_mp)
+        t21_off = rsolve(bmm(t21, m2_off) + a_ie.t_pp, roll0_id(a2, s, eye))
+        v2_off = (c_ie.j_p + bmv(c_ie.r_pm, roll0(added.j_m, s))
+                  + bmv(comp.r_pm, a_ie.j_m))
+        iejp = a_ie.j_p + bmv(t21, v2_off) + bmv(t21_off, roll0(v2, s))
+        iet_pp = bmm(t21, c_ie.t_pp) + bmm(t21_off, roll0(comp.t_pp, s))
+        w2_off = bmm(c_ie.r_pm, roll0(added.t_mm, s)) + bmm(comp.r_pm,
+                                                            a_ie.t_mm)
+        ier_pm = a_ie.r_pm + bmm(t21, w2_off) + bmm(t21_off, roll0(w2, s))
+        return IELayer(ier_mp, ier_pm, iet_pp, iet_mm, iejp, iejm)
+
+    ie_new = jax.vmap(one_shift)(shifts, comp_ie, added_ie)
+
+    elastic_new = LayerRT(
+        r_mp=comp.r_mp + bmm(t01, w1),
+        r_pm=added.r_pm + bmm(t21, w2),
+        t_pp=bmm(t21, comp.t_pp),
+        t_mm=bmm(t01, added.t_mm),
+        j_p=added.j_p + bmv(t21, v2),
+        j_m=comp.j_m + bmv(t01, v1))
+    return elastic_new, ie_new
+
+
+# --- full RRS forward driver ------------------------------------------------
+
+@partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
+                                   "solver"))
+def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
+                      f_rayl, shifts, w_shifts, qp, wt, d_vec, i0_vec,
+                      albedo, mu0, mu0_node, min_qp_mu,
+                      *, i_mu0_n, n_stokes, is_m0, n_spec, solver):
+    """One Fourier moment of the RRS-coupled RT: joint elastic+ie layer
+    scan, Lambertian surface (no Raman at the surface).
+    ref: rt_run.jl RRS path + rt_kernel.jl:278-343."""
+    with jax.default_matmul_precision("highest"):
+        rsolve = make_rsolve(solver)
+        dtype = tau.dtype
+        n = qp.shape[0]
+        n_r = shifts.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (n_spec, n, n))
+        wct02 = jnp.asarray(0.5 if is_m0 else 0.25, dtype)
+        wct2 = wt / 2.0 if is_m0 else wt / 4.0
+
+        tau_sum_all = jnp.concatenate(
+            [jnp.zeros((1, tau.shape[1]), dtype),
+             jnp.cumsum(tau, axis=0)], axis=0)
+
+        def scan_body(carry, inputs):
+            comp, comp_ie = carry
+            tau_z, omega_z, zw_z, f_rayl_z, tau_sum_z = inputs
+            z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
+            z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
+            added, added_ie = raman_make_added_layer(
+                tau_z, omega_z, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum_z,
+                f_rayl_z, shifts, w_shifts, qp, wct2, wct02, i0_vec,
+                i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye,
+                rsolve)
+            comp, comp_ie = raman_interaction(comp, comp_ie, added,
+                                              added_ie, shifts, eye, rsolve)
+            return (comp, comp_ie), None
+
+        init = (vacuum_layer(n_spec, n, dtype),
+                zero_ie(n_r, n_spec, n, dtype))
+        (comp, comp_ie), _ = jax.lax.scan(
+            scan_body, init,
+            (tau, omega, zw, f_rayl, tau_sum_all[:-1]))
+
+        from vsmartmom.core.surface import lambertian_surface_layer
+        surf = lambertian_surface_layer(
+            albedo, n_spec, n_stokes, qp, wt, i0_vec, tau_sum_all[-1], mu0,
+            is_m0, dtype)
+        surf_ie = zero_ie(n_r, n_spec, n, dtype)
+        comp, comp_ie = raman_interaction(comp, comp_ie, surf, surf_ie,
+                                          shifts, eye, rsolve)
+        # sum coupling over all Raman shifts for the SFI outputs
+        return comp, comp_ie.j_p.sum(axis=0), comp_ie.j_m.sum(axis=0)
+
+
+def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
+                    surface, dtype=jnp.float64, solver=None):
+    """Forward run with rotational-Raman coupling for one band.
+
+    rrs: inelastic.rrs.RRS; f_rayl: (nZ, nSpec) Rayleigh-scattering fraction
+    tau_rayl/tau_total per layer. Returns (R, T, ieR, ieT), each
+    (n_vza, n_stokes, nSpec): elastic (Cabannes) radiances and the
+    first-order Raman (filling-in) corrections
+    (ref: rt_run.jl:219-226 return R_SFI.., ieR_SFI..).
+    """
+    from vsmartmom.scattering.phase import compute_Z_moments
+    from vsmartmom.util.quadrature import nearest_point
+
+    if solver is None:
+        solver = "lu" if jax.default_backend() == "cpu" else "schulz"
+    n_spec = band.tau.shape[1]
+    n = len(quad.qp_mu_n)
+    n_stokes = pol.n
+    vza = np.asarray(vza, dtype=np.float64)
+    vaz = np.asarray(vaz, dtype=np.float64)
+
+    i0_vec = np.zeros(n)
+    i0_vec[quad.i_mu0_n:quad.i_mu0_n + n_stokes] = pol.i0
+    d_vec = np.tile(pol.d, quad.n_quad)
+    mu0_node = float(quad.qp_mu_n[quad.i_mu0_n])
+    min_qp_mu = float(np.min(quad.qp_mu))
+
+    assert surface["type"] == "LambertianSurfaceScalar", \
+        "RRS runs support Lambertian surfaces (as the reference)"
+    albedo = float(surface["albedo"])
+
+    R = np.zeros((len(vza), n_stokes, n_spec))
+    T = np.zeros_like(R)
+    ieR = np.zeros_like(R)
+    ieT = np.zeros_like(R)
+
+    to_dev = lambda x: jnp.asarray(x, dtype)
+    shifts = jnp.asarray(rrs.i_shift, jnp.int32)
+    w_shifts = to_dev(rrs.w_shift)
+
+    for m in range(max_m):
+        z_pp_list, z_mp_list = [], []
+        for gc in band.greeks:
+            zpp, zmp = compute_Z_moments(pol, quad.qp_mu, gc, m)
+            z_pp_list.append(zpp)
+            z_mp_list.append(zmp)
+        z_pp_r, z_mp_r = compute_Z_moments(pol, quad.qp_mu,
+                                           rrs.greek_raman, m)
+
+        comp, iejp_sum, iejm_sum = _fourier_step_rrs(
+            to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
+            to_dev(np.stack(z_pp_list)), to_dev(np.stack(z_mp_list)),
+            to_dev(z_pp_r), to_dev(z_mp_r), to_dev(f_rayl),
+            shifts, w_shifts,
+            to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n), to_dev(d_vec),
+            to_dev(i0_vec), jnp.asarray(albedo, dtype),
+            jnp.asarray(quad.mu0, dtype), jnp.asarray(mu0_node, dtype),
+            jnp.asarray(min_qp_mu, dtype),
+            i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
+            n_spec=n_spec, solver=solver)
+
+        j_m = np.asarray(comp.j_m)
+        j_p = np.asarray(comp.j_p)
+        ie_m = np.asarray(iejm_sum)
+        ie_p = np.asarray(iejp_sum)
+        weight = 0.5 if m == 0 else 1.0
+        for i in range(len(vza)):
+            i_mu = nearest_point(quad.qp_mu, np.cos(np.deg2rad(vza[i])))
+            sl = slice(n_stokes * i_mu, n_stokes * (i_mu + 1))
+            cm = np.cos(np.deg2rad(m * vaz[i]))
+            sm = np.sin(np.deg2rad(m * vaz[i]))
+            big_cs = weight * np.array([cm, cm, sm, sm][:n_stokes])
+            R[i] += big_cs[:, None] * j_m[:, sl].T
+            T[i] += big_cs[:, None] * j_p[:, sl].T
+            ieR[i] += big_cs[:, None] * ie_m[:, sl].T
+            ieT[i] += big_cs[:, None] * ie_p[:, sl].T
+
+    return R, T, ieR, ieT

@@ -1,0 +1,112 @@
+"""RRS (rotational Raman) single-scattering properties on a spectral grid.
+
+Maps the N2/O2 rotational Raman lines onto the simulation's uniform
+wavenumber grid: integer grid-index shifts ``i_shift`` (source = output
+index + shift) with coupling weights ``w_shift`` = sigma_RRS / sigma_Rayl,
+plus the Cabannes fraction and the Raman Greek coefficients / Z matrices.
+
+ref: src/Inelastic/raman_atmo_prop.jl getRamanSSProp! (:57-74),
+     src/Inelastic/inelastic_helper.jl apply_gridlines! (:146-218),
+     get_greek_raman (:410-428).
+
+Design notes vs the reference:
+  * each line deposits half its (nu^4-weighted) strength on the two grid
+    points bracketing its shift (same box deposition as apply_gridlines!);
+  * the receiver-picture index shift is the *negated* deposit offset — the
+    reference instead reverses the offset list, which is equivalent only
+    because the +/- line positions are symmetric; we negate exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from vsmartmom.inelastic.constants import molecular_constants
+from vsmartmom.inelastic.xsec import (cabannes_fraction, rayleigh_depol,
+                                      rotational_raman_lines)
+from vsmartmom.scattering.phase import GreekCoefs
+
+
+@dataclasses.dataclass
+class RRS:
+    """Rotational-Raman coupling spec for one band."""
+    i_shift: np.ndarray        # (n_Raman,) int source-index offsets
+    w_shift: np.ndarray        # (n_Raman,) coupling weights sigma/sigma_Rayl
+    omega_cabannes: float      # elastic Cabannes fraction
+    greek_raman: GreekCoefs    # Greek coefs of the Raman phase matrix
+    depol_rayl: float          # Rayleigh depolarization (for elastic Z)
+
+    @property
+    def n_raman(self) -> int:
+        return len(self.i_shift)
+
+
+def greek_raman_coefs(rho_depol_rot: float) -> GreekCoefs:
+    """Raman phase-matrix Greek coefficients (depol 6/7 structure).
+    ref: inelastic_helper.jl get_greek_raman:410-428."""
+    d = rho_depol_rot
+    dpl_p = (1.0 - d) / (1.0 + d / 2.0)
+    dpl_r = (1.0 - 2.0 * d) / (1.0 - d)
+    return GreekCoefs(
+        alpha=np.array([0.0, 0.0, 3.0 * dpl_p]),
+        beta=np.array([1.0, 0.0, 0.5 * dpl_p]),
+        gamma=np.array([0.0, 0.0, dpl_p * np.sqrt(1.5)]),
+        delta=np.array([0.0, dpl_p * dpl_r * 1.5, 0.0]),
+        epsilon=np.array([0.0, 0.0, 0.0]),
+        zeta=np.array([0.0, 0.0, 0.0]))
+
+
+def make_rrs(grid: np.ndarray, T: float = 250.0, vmr_n2: float = 0.79,
+             vmr_o2: float = 0.21, j_max: int = 30) -> RRS:
+    """Build the RRS coupling for a uniform wavenumber grid [cm^-1].
+
+    The reference uses vmr_n2 = 0.8, vmr_o2 = 0.2
+    (inelastic_helper.jl:23-40); we default to the standard atmosphere.
+    """
+    grid = np.asarray(grid, dtype=np.float64)
+    nu0 = 0.5 * (grid[0] + grid[-1])
+    dnu = grid[1] - grid[0]
+    n_spec = len(grid)
+
+    mols = [molecular_constants("N2", vmr_n2),
+            molecular_constants("O2", vmr_o2)]
+    lines = [rotational_raman_lines(m, nu0, T, j_max) for m in mols]
+    vmrs = [vmr_n2, vmr_o2]
+
+    sigma_rayl = sum(v * ln.sigma_rayl_coeff
+                     for ln, v in zip(lines, vmrs)) * nu0**4
+
+    # Deposit each line's strength onto the two bracketing grid offsets.
+    # Offsets are relative grid indices (can exceed the band edge for very
+    # narrow bands — those lines are dropped, as in the reference where
+    # grid_min < shift < grid_max is required).
+    half = (n_spec - 1) / 2.0
+    acc = {}
+    for ln, v in zip(lines, vmrs):
+        for shift, coeff in zip(ln.shifts, ln.coeffs):
+            x = shift / dnu                      # fractional index offset
+            if abs(x) >= half:
+                continue
+            s = v * coeff * (nu0 + shift) ** 4
+            lo = int(np.floor(x))
+            for off in (lo, lo + 1):
+                acc[off] = acc.get(off, 0.0) + 0.5 * s
+
+    offsets = np.array(sorted(acc.keys()), dtype=np.int64)
+    weights = np.array([acc[o] for o in offsets]) / sigma_rayl
+    # drop zero-strength deposits (e.g. O2 even-J lines with g_N = 0)
+    nz = weights > 0
+    offsets, weights = offsets[nz], weights[nz]
+    # receiver picture: output at n1 receives from source n0 = n1 + i_shift
+    # with i_shift = -deposit_offset
+    i_shift = -offsets[::-1]
+    w_shift = weights[::-1]
+
+    omega_cab = cabannes_fraction(lines, vmrs, nu0)
+    rho_rot = lines[0].rho_depol_rot_raman
+    return RRS(i_shift=i_shift, w_shift=w_shift,
+               omega_cabannes=omega_cab,
+               greek_raman=greek_raman_coefs(rho_rot),
+               depol_rayl=rayleigh_depol(lines, vmrs))

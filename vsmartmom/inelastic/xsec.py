@@ -1,0 +1,119 @@
+"""Raman / Cabannes scattering cross-section coefficients.
+
+Effective polarizability, rotational-Raman (J -> J +/- 2) line strengths
+with Placzek-Teller factors and Boltzmann populations, Cabannes-line
+coefficient, and depolarization ratios.
+
+ref: src/Inelastic/src/inelastic_cross_section.jl (compute_effective_
+coefficents!:1-24, compute_sigma_Rayl_coeff!:27-32,
+compute_sigma_RoVibRaman_coeff!:146-293).
+Cross-section coefficients are in cm^2 per (nu/cm^-1)^4 — multiply by nu^4.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from vsmartmom.inelastic.constants import (HC_BY_K, MolecularConstants,
+                                           energy_levels, g_nuclear)
+
+C_LIGHT_SI = 2.99792458e8
+
+
+@dataclasses.dataclass
+class RamanLines:
+    """Rotational Raman line set of one molecule at temperature T.
+
+    shifts: scattered-light wavenumber shifts [cm^-1] (Stokes < 0)
+    coeffs: cross-section coefficients [cm^2 / (cm^-1)^4]
+    """
+    shifts: np.ndarray
+    coeffs: np.ndarray
+    sigma_rayl_coeff: float     # total (Cabannes incl. wings) Rayleigh coeff
+    rho_depol_rayl: float
+    rho_depol_rot_raman: float
+
+
+def effective_polarizability(mol: MolecularConstants, nu_eff: float,
+                             T: float):
+    """alpha-bar(nu, T), gamma-bar and the King/depol factors.
+
+    ref: inelastic_cross_section.jl:1-24."""
+    p = mol.pol
+    # nu_eff in cm^-1 -> angular frequency ratio (omega_0 in 1/s, c in cm/s)
+    c_cgs = 2.99792458e10
+    alpha = (p.alpha_00 * (1.0 + p.alpha_b * T + p.alpha_c * T**2)
+             / (1.0 - (2.0 * np.pi * c_cgs * nu_eff / p.omega_0) ** 2))
+    gamma = p.gamma_00
+    eps = alpha / gamma
+    gamma_c_rayl = 3.0 / (45.0 * eps**2 + 4.0)
+    gamma_c_rot = 3.0 / 4.0
+    rho_rayl = 2.0 * gamma_c_rayl / (1.0 + gamma_c_rayl)
+    rho_rot = 2.0 * gamma_c_rot / (1.0 + gamma_c_rot)
+    return alpha, gamma, gamma_c_rayl, rho_rayl, rho_rot
+
+
+def rotational_raman_lines(mol: MolecularConstants, nu_eff: float, T: float,
+                           j_max: int = 30) -> RamanLines:
+    """J -> J+/-2 rotational Raman lines (v = 0), Boltzmann-weighted.
+
+    sigma_coeff(J -> J') = (256/27) pi^5 g_N (2J+1) b_JJ' (N_J/N) gamma^2,
+    with partition sum over v = {0, 1}; Placzek-Teller coefficients
+    b_JJ-2 = 3J(J-1)/(2(2J+1)(2J-1)), b_JJ+2 = 3(J+1)(J+2)/(2(2J+1)(2J+3)).
+    ref: inelastic_cross_section.jl:146-293."""
+    alpha, gamma, gamma_c_rayl, rho_rayl, rho_rot = \
+        effective_polarizability(mol, nu_eff, T)
+    E = energy_levels(mol, v_max=1, j_max=j_max)
+    j = np.arange(j_max + 1)
+    g_n = g_nuclear(mol, j)
+    boltz0 = np.exp(-HC_BY_K * E[0] / T)
+    z_pf = np.sum(g_n * (2 * j + 1)
+                  * (np.exp(-HC_BY_K * E[0] / T)
+                     + np.exp(-HC_BY_K * E[1] / T)))
+
+    k_v = (256.0 / 27.0) * np.pi**5
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b_m2 = 3.0 * j * (j - 1.0) / (2.0 * (2 * j + 1.0) * (2 * j - 1.0))
+        b_p2 = (3.0 * (j + 1.0) * (j + 2.0)
+                / (2.0 * (2 * j + 1.0) * (2 * j + 3.0)))
+    b_m2 = np.where(j >= 2, b_m2, 0.0)
+
+    shifts, coeffs = [], []
+    # anti-Stokes (J -> J-2): scattered shift = -(E[0,J-2] - E[0,J]) > 0
+    ok = j >= 2
+    shifts.append(-(E[0, j[ok] - 2] - E[0, j[ok]]))
+    coeffs.append(k_v * g_n[ok] * (2 * j[ok] + 1) * b_m2[ok]
+                  * boltz0[ok] * gamma**2 / z_pf)
+    # Stokes (J -> J+2): shift = -(E[0,J+2] - E[0,J]) < 0
+    ok = j + 2 <= j_max
+    shifts.append(-(E[0, j[ok] + 2] - E[0, j[ok]]))
+    coeffs.append(k_v * g_n[ok] * (2 * j[ok] + 1) * b_p2[ok]
+                  * boltz0[ok] * gamma**2 / z_pf)
+
+    sigma_rayl = (128.0 * np.pi**5 * alpha**2
+                  * (1.0 + 2.0 * gamma_c_rayl) / (3.0 - 4.0 * gamma_c_rayl))
+    return RamanLines(shifts=np.concatenate(shifts),
+                      coeffs=np.concatenate(coeffs),
+                      sigma_rayl_coeff=sigma_rayl,
+                      rho_depol_rayl=rho_rayl,
+                      rho_depol_rot_raman=rho_rot)
+
+
+def cabannes_fraction(lines_list, vmrs, nu0: float) -> float:
+    """Elastic (Cabannes) fraction of the total Rayleigh cross-section:
+    sigma_Cab / (sigma_Cab + sigma_RRS) at wavenumber nu0.
+    ref: inelastic_helper.jl compute_ϖ_Cabannes (:74-130, RRS terms)."""
+    sig_el = sum(v * ln.sigma_rayl_coeff for ln, v in zip(lines_list, vmrs))
+    sig_el *= nu0**4
+    sig_rrs = sum(v * np.sum((nu0 + ln.shifts) ** 4 * ln.coeffs)
+                  for ln, v in zip(lines_list, vmrs))
+    return float(sig_el / (sig_el + sig_rrs))
+
+
+def rayleigh_depol(lines_list, vmrs) -> float:
+    """VMR-weighted Rayleigh depolarization
+    (ref: inelastic_helper.jl:451-454)."""
+    num = sum(v * ln.rho_depol_rayl for ln, v in zip(lines_list, vmrs))
+    den = sum(vmrs)
+    return float(num / den)
