@@ -242,3 +242,54 @@ def test_rrs_mapping_physics():
     # shifts are symmetric and within +-~200 cm^-1 (400 grid steps)
     assert rrs.i_shift.min() > -800 and rrs.i_shift.max() < 800
     assert np.all(rrs.w_shift > 0)
+
+
+def test_vs_vibrational_raman():
+    """VS (vibrational Raman) through the multi-group driver: physically
+    sized, positive filling only where the +2331/1556 cm^-1-shifted source
+    lies inside the grid."""
+    from vsmartmom.core.rt_raman import rt_run_band_rrs
+    from vsmartmom.inelastic.rrs import make_vs
+
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 8, 45.0, [0.0], pol.n)
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.0}
+    grid = np.arange(10500.0, 13300.0, 20.0)
+    n_spec = len(grid)
+    specs = make_vs(grid, T=250.0, direction="0to1")
+    assert len(specs) == 3          # rovib O/S + Q(N2) + Q(O2)
+
+    tau_rayl = np.full((2, n_spec), 0.1)
+    band = BandRTInputs(tau=tau_rayl, omega=np.ones_like(tau_rayl),
+                        zw=np.ones((2, 1, n_spec)),
+                        greeks=[get_greek_rayleigh(specs[0].depol_rayl)])
+    R, T, ieR, ieT = rt_run_band_rrs(pol, quad, band, specs,
+                                     np.ones_like(tau_rayl), [0.0], [0.0],
+                                     2, surf)
+    assert np.all(np.isfinite(ieR))
+    max_shift = max(int(s.i_shift.max()) for s in specs)
+    # outputs whose source would fall beyond the red edge see no VS
+    fill = ieR[0, 0, :] / R[0, 0, :]
+    assert np.all(ieR[0, 0, n_spec - 1:] >= 0)
+    valid = fill[: n_spec - max_shift - 1]
+    # vibrational filling is ~1e-4 of the elastic signal
+    assert 1e-5 < np.median(valid) < 5e-3
+    # and zero where no source wavelength exists in the grid
+    min_shift = min(int(s.i_shift.min()) for s in specs)
+    assert np.max(np.abs(fill[n_spec - min_shift:])) < 1e-12 \
+        if n_spec - min_shift < n_spec else True
+
+
+def test_vs_anti_stokes_negligible_cold():
+    """VS 1->0 from a cold atmosphere is Boltzmann-suppressed: ~1.5e-6 for
+    N2 (2331 cm^-1) and ~1.3e-4 for O2 (1556 cm^-1) at 250 K, so the total
+    is ~1e-4 of the Stokes direction."""
+    from vsmartmom.inelastic.rrs import make_vs
+    grid = np.arange(10500.0, 13300.0, 20.0)
+    s01 = make_vs(grid, T=250.0, direction="0to1")
+    s10 = make_vs(grid, T=250.0, direction="1to0")
+    w01 = sum(s.w_shift.sum() for s in s01)
+    w10 = sum(s.w_shift.sum() for s in s10) if s10 else 0.0
+    assert w10 < w01 * 1e-3
+    # anti-Stokes shifts are blueward (negative source offsets)
+    assert all(s.i_shift.max() < 0 for s in s10)

@@ -217,8 +217,8 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
 
 
 def raman_make_added_layer(tau, omega, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum,
-                           f_rayl, shifts, w_shifts, qp, wct2, wct02, i0_vec,
-                           i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
+                           f_rayl, shifts, w_shifts, gids, qp, wct2, wct02,
+                           i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
                            min_qp_mu, eye, rsolve):
     """One atmospheric layer: elastic + Raman elemental, joint doubling.
 
@@ -236,11 +236,12 @@ def raman_make_added_layer(tau, omega, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum,
         dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
         i0_vec, i_mu0_n, n_stokes, mu0_node)
 
-    def one_shift(s, w):
-        return ie_elemental(s, w, dtau, f_rayl, tau_sum, z_pp_r, z_mp_r,
-                            qp, wct2, wct02, i0_vec, i_mu0_n, n_stokes,
-                            mu0_node)
-    ier, iet, iejp, iejm = jax.vmap(one_shift)(shifts, w_shifts)
+    def one_shift(s, w, g):
+        # per-group Raman phase matrix (g indexes the (G, N, N) stacks)
+        return ie_elemental(s, w, dtau, f_rayl, tau_sum, z_pp_r[g],
+                            z_mp_r[g], qp, wct2, wct02, i0_vec, i_mu0_n,
+                            n_stokes, mu0_node)
+    ier, iet, iejp, iejm = jax.vmap(one_shift)(shifts, w_shifts, gids)
 
     # D-flip, joint doubling, unflip (rows live on the output side).
     dv = d_vec[None, :, None]
@@ -324,7 +325,7 @@ def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
                                    "solver"))
 def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
-                      f_rayl, shifts, w_shifts, qp, wt, d_vec, i0_vec,
+                      f_rayl, shifts, w_shifts, gids, qp, wt, d_vec, i0_vec,
                       albedo, mu0, mu0_node, min_qp_mu,
                       *, i_mu0_n, n_stokes, is_m0, n_spec, solver):
     """One Fourier moment of the RRS-coupled RT: joint elastic+ie layer
@@ -350,7 +351,7 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
             z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
             added, added_ie = raman_make_added_layer(
                 tau_z, omega_z, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum_z,
-                f_rayl_z, shifts, w_shifts, qp, wct2, wct02, i0_vec,
+                f_rayl_z, shifts, w_shifts, gids, qp, wct2, wct02, i0_vec,
                 i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye,
                 rsolve)
             comp, comp_ie = raman_interaction(comp, comp_ie, added,
@@ -376,12 +377,14 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
 
 def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
                     surface, dtype=jnp.float64, solver=None):
-    """Forward run with rotational-Raman coupling for one band.
+    """Forward run with Raman coupling (RRS and/or VS groups) for one band.
 
-    rrs: inelastic.rrs.RRS; f_rayl: (nZ, nSpec) Rayleigh-scattering fraction
-    tau_rayl/tau_total per layer. Returns (R, T, ieR, ieT), each
+    rrs: a single inelastic coupling spec (inelastic.rrs.RRS / the specs
+    from make_vs) or a list of them — each contributes its own shift set
+    and Raman phase matrix. f_rayl: (nZ, nSpec) Rayleigh-scattering
+    fraction tau_rayl/tau_total per layer. Returns (R, T, ieR, ieT), each
     (n_vza, n_stokes, nSpec): elastic (Cabannes) radiances and the
-    first-order Raman (filling-in) corrections
+    first-order Raman corrections
     (ref: rt_run.jl:219-226 return R_SFI.., ieR_SFI..).
     """
     from vsmartmom.scattering.phase import compute_Z_moments
@@ -389,6 +392,7 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
 
     if solver is None:
         solver = "lu" if jax.default_backend() == "cpu" else "schulz"
+    specs = rrs if isinstance(rrs, (list, tuple)) else [rrs]
     n_spec = band.tau.shape[1]
     n = len(quad.qp_mu_n)
     n_stokes = pol.n
@@ -402,7 +406,7 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
     min_qp_mu = float(np.min(quad.qp_mu))
 
     assert surface["type"] == "LambertianSurfaceScalar", \
-        "RRS runs support Lambertian surfaces (as the reference)"
+        "Raman runs support Lambertian surfaces (as the reference)"
     albedo = float(surface["albedo"])
 
     R = np.zeros((len(vza), n_stokes, n_spec))
@@ -411,8 +415,12 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
     ieT = np.zeros_like(R)
 
     to_dev = lambda x: jnp.asarray(x, dtype)
-    shifts = jnp.asarray(rrs.i_shift, jnp.int32)
-    w_shifts = to_dev(rrs.w_shift)
+    shifts = jnp.asarray(np.concatenate([s.i_shift for s in specs]),
+                         jnp.int32)
+    w_shifts = to_dev(np.concatenate([s.w_shift for s in specs]))
+    gids = jnp.asarray(np.concatenate(
+        [np.full(len(s.i_shift), g, np.int32)
+         for g, s in enumerate(specs)]))
 
     for m in range(max_m):
         z_pp_list, z_mp_list = [], []
@@ -420,14 +428,17 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
             zpp, zmp = compute_Z_moments(pol, quad.qp_mu, gc, m)
             z_pp_list.append(zpp)
             z_mp_list.append(zmp)
-        z_pp_r, z_mp_r = compute_Z_moments(pol, quad.qp_mu,
-                                           rrs.greek_raman, m)
+        z_pp_r, z_mp_r = [], []
+        for s in specs:
+            a, b = compute_Z_moments(pol, quad.qp_mu, s.greek_raman, m)
+            z_pp_r.append(a)
+            z_mp_r.append(b)
 
         comp, iejp_sum, iejm_sum = _fourier_step_rrs(
             to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
             to_dev(np.stack(z_pp_list)), to_dev(np.stack(z_mp_list)),
-            to_dev(z_pp_r), to_dev(z_mp_r), to_dev(f_rayl),
-            shifts, w_shifts,
+            to_dev(np.stack(z_pp_r)), to_dev(np.stack(z_mp_r)),
+            to_dev(f_rayl), shifts, w_shifts, gids,
             to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n), to_dev(d_vec),
             to_dev(i0_vec), jnp.asarray(albedo, dtype),
             jnp.asarray(quad.mu0, dtype), jnp.asarray(mu0_node, dtype),

@@ -1,12 +1,14 @@
 """Inelastic (Raman) scattering (ref: src/Inelastic/InelasticScattering.jl)."""
 from vsmartmom.inelastic.constants import (MolecularConstants, energy_levels,
                                            molecular_constants)
-from vsmartmom.inelastic.rrs import RRS, greek_raman_coefs, make_rrs
+from vsmartmom.inelastic.rrs import (RRS, greek_raman_coefs, make_rrs,
+                                     make_vs)
 from vsmartmom.inelastic.xsec import (RamanLines, cabannes_fraction,
                                       rayleigh_depol,
-                                      rotational_raman_lines)
+                                      rotational_raman_lines,
+                                      vibrational_raman_lines)
 
 __all__ = ["MolecularConstants", "RRS", "RamanLines", "cabannes_fraction",
-           "energy_levels", "greek_raman_coefs", "make_rrs",
+           "energy_levels", "greek_raman_coefs", "make_rrs", "make_vs",
            "molecular_constants", "rayleigh_depol",
-           "rotational_raman_lines"]
+           "rotational_raman_lines", "vibrational_raman_lines"]

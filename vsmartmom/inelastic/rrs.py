@@ -82,7 +82,9 @@ def make_rrs(grid: np.ndarray, T: float = 250.0, vmr_n2: float = 0.79,
     # Offsets are relative grid indices (can exceed the band edge for very
     # narrow bands — those lines are dropped, as in the reference where
     # grid_min < shift < grid_max is required).
-    half = (n_spec - 1) / 2.0
+    # offsets up to the full grid width are usable (per-output-index
+    # validity is enforced by the RT core's roll masking)
+    half = n_spec - 1
     acc = {}
     for ln, v in zip(lines, vmrs):
         for shift, coeff in zip(ln.shifts, ln.coeffs):
@@ -110,3 +112,78 @@ def make_rrs(grid: np.ndarray, T: float = 250.0, vmr_n2: float = 0.79,
                omega_cabannes=omega_cab,
                greek_raman=greek_raman_coefs(rho_rot),
                depol_rayl=rayleigh_depol(lines, vmrs))
+
+
+def _deposit_lines(pairs, grid, sigma_rayl):
+    """Deposit (vmr, shifts, coeffs) line sets onto grid-index offsets.
+    Returns (i_shift, w_shift) in the receiver picture."""
+    grid = np.asarray(grid, dtype=np.float64)
+    nu0 = 0.5 * (grid[0] + grid[-1])
+    dnu = grid[1] - grid[0]
+    half = len(grid) - 1
+    acc = {}
+    for vmr, shifts, coeffs in pairs:
+        for shift, coeff in zip(shifts, coeffs):
+            x = shift / dnu
+            if abs(x) >= half:
+                continue
+            s = vmr * coeff * (nu0 + shift) ** 4
+            lo = int(np.floor(x))
+            for off in (lo, lo + 1):
+                acc[off] = acc.get(off, 0.0) + 0.5 * s
+    offsets = np.array(sorted(acc.keys()), dtype=np.int64)
+    weights = np.array([acc[o] for o in offsets]) / sigma_rayl
+    nz = weights > 0
+    offsets, weights = offsets[nz], weights[nz]
+    return -offsets[::-1], weights[::-1]
+
+
+def make_vs(grid: np.ndarray, T: float = 250.0, direction: str = "0to1",
+            vmr_n2: float = 0.79, vmr_o2: float = 0.21,
+            j_max: int = 30):
+    """Vibrational Raman (VS 0->1 Stokes or 1->0 anti-Stokes) coupling
+    specs for a wavenumber grid spanning both the incident and the
+    ~1556/2331 cm^-1-shifted scattered ranges.
+
+    Returns a list of RRS-like specs (one per phase-matrix group):
+    [rovibrational O/S branches (N2 + O2, depol 6/7),
+     Q branch N2, Q branch O2 (per-molecule vibrational depol)] —
+    feed the list directly to core.rt_raman.rt_run_band_rrs.
+    ref: raman_atmo_prop.jl getRamanSSProp!(VS_*) and
+    inelastic_helper.jl get_greek_raman_VS (:430-449).
+    """
+    from vsmartmom.inelastic.xsec import vibrational_raman_lines
+
+    grid = np.asarray(grid, dtype=np.float64)
+    nu0 = 0.5 * (grid[0] + grid[-1])
+    mols = [molecular_constants("N2", vmr_n2),
+            molecular_constants("O2", vmr_o2)]
+    rrs_lines = [rotational_raman_lines(m, nu0, T, j_max) for m in mols]
+    vmrs = [vmr_n2, vmr_o2]
+    sigma_rayl = sum(v * ln.sigma_rayl_coeff
+                     for ln, v in zip(rrs_lines, vmrs)) * nu0**4
+    depol = rayleigh_depol(rrs_lines, vmrs)
+
+    specs = []
+    vib = [vibrational_raman_lines(m, nu0, T, direction, j_max)
+           for m in mols]
+    n_q = j_max + 1      # the first j_max+1 lines of each set = Q branch
+
+    # group 1: O/S rovibrational branches of both molecules (depol 6/7)
+    pairs = [(v, sh[n_q:], co[n_q:]) for v, (sh, co, _) in zip(vmrs, vib)]
+    i_sh, w_sh = _deposit_lines(pairs, grid, sigma_rayl)
+    rho_rot = rrs_lines[0].rho_depol_rot_raman
+    if len(i_sh):
+        specs.append(RRS(i_shift=i_sh, w_shift=w_sh, omega_cabannes=1.0,
+                         greek_raman=greek_raman_coefs(rho_rot),
+                         depol_rayl=depol))
+    # groups 2/3: Q branches per molecule with vibrational depol
+    for v, (sh, co, rho_vib) in zip(vmrs, vib):
+        i_sh, w_sh = _deposit_lines([(v, sh[:n_q], co[:n_q])], grid,
+                                    sigma_rayl)
+        if len(i_sh):
+            specs.append(RRS(i_shift=i_sh, w_shift=w_sh,
+                             omega_cabannes=1.0,
+                             greek_raman=greek_raman_coefs(rho_vib),
+                             depol_rayl=depol))
+    return specs

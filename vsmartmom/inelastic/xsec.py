@@ -117,3 +117,62 @@ def rayleigh_depol(lines_list, vmrs) -> float:
     num = sum(v * ln.rho_depol_rayl for ln, v in zip(lines_list, vmrs))
     den = sum(vmrs)
     return float(num / den)
+
+
+def vibrational_raman_lines(mol: MolecularConstants, nu_eff: float, T: float,
+                            direction: str = "0to1",
+                            j_max: int = 30):
+    """Vibrational (Q-branch, dJ = 0) + rovibrational (dJ = +/-2) Raman
+    lines for v 0->1 (Stokes, 'scattered' redward) or 1->0 (anti-Stokes).
+
+    Uses the derivative polarizabilities alpha' = alpha00' sqrt(Be/we),
+    gamma' = gamma00' sqrt(Be/we) (Buldakov et al. 1996).
+    ref: inelastic_cross_section.jl compute_sigma_Rayl_VibRaman_coeff_
+    hires! (:34-104) and compute_sigma_RoVibRaman_coeff! (:146-293).
+    Returns (shifts, coeffs, rho_depol_vib).
+    """
+    assert direction in ("0to1", "1to0")
+    p = mol.pol
+    alpha_p = p.alpha_00_prime * np.sqrt(mol.Y[0, 1] / mol.Y[1, 0])
+    gamma_p = p.gamma_00_prime * np.sqrt(mol.Y[0, 1] / mol.Y[1, 0])
+    eps_p = alpha_p / gamma_p
+    gamma_c_vib = 3.0 / (45.0 * eps_p**2 + 4.0)
+    rho_vib = 2.0 * gamma_c_vib / (1.0 + gamma_c_vib)
+
+    E = energy_levels(mol, v_max=1, j_max=j_max)
+    j = np.arange(j_max + 1)
+    g_n = g_nuclear(mol, j)
+    z_pf = np.sum(g_n * (2 * j + 1)
+                  * (np.exp(-HC_BY_K * E[0] / T)
+                     + np.exp(-HC_BY_K * E[1] / T)))
+    vi, vf = (0, 1) if direction == "0to1" else (1, 0)
+    boltz = np.exp(-HC_BY_K * E[vi] / T)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b_jj = j * (j + 1.0) / ((2 * j - 1.0) * (2 * j + 3.0))
+        b_m2 = 3.0 * j * (j - 1.0) / (2.0 * (2 * j + 1.0) * (2 * j - 1.0))
+        b_p2 = (3.0 * (j + 1.0) * (j + 2.0)
+                / (2.0 * (2 * j + 1.0) * (2 * j + 3.0)))
+    b_m2 = np.where(j >= 2, b_m2, 0.0)
+
+    shifts, coeffs = [], []
+    # Q branch (dJ = 0): per-J gamma_C with the b_JJ anisotropy mixing;
+    # b_JJ -> 0 (J = 0) is the isotropic limit: gamma_C -> 0.
+    with np.errstate(divide="ignore"):
+        ratio2 = (alpha_p / (np.where(b_jj == 0, 1.0, b_jj) * gamma_p)) ** 2
+    gc_q = np.where(b_jj == 0, 0.0, 3.0 / (4.0 + 45.0 * ratio2))
+    shifts.append(-(E[vf, j] - E[vi, j]))
+    coeffs.append(128.0 * np.pi**5 * g_n * (2 * j + 1) * boltz * alpha_p**2
+                  * (1.0 + 2.0 * gc_q) / (3.0 - 4.0 * gc_q) / z_pf)
+    # O branch (J -> J-2)
+    k_v = (256.0 / 27.0) * np.pi**5
+    ok = j >= 2
+    shifts.append(-(E[vf, j[ok] - 2] - E[vi, j[ok]]))
+    coeffs.append(k_v * g_n[ok] * (2 * j[ok] + 1) * b_m2[ok] * boltz[ok]
+                  * gamma_p**2 / z_pf)
+    # S branch (J -> J+2)
+    ok = j + 2 <= j_max
+    shifts.append(-(E[vf, j[ok] + 2] - E[vi, j[ok]]))
+    coeffs.append(k_v * g_n[ok] * (2 * j[ok] + 1) * b_p2[ok] * boltz[ok]
+                  * gamma_p**2 / z_pf)
+    return (np.concatenate(shifts), np.concatenate(coeffs), float(rho_vib))
