@@ -170,14 +170,57 @@ def _xsec_kernel(grid, nu, sw, elower, gamma_air, gamma_self, n_air,
     return acc
 
 
+def line_parameters(model: HitranModel, pressure, temperature):
+    """Per-line (nu_shifted, strength(T), gamma_d, y) as host f64 arrays —
+    the inputs of the Pallas Voigt kernel path."""
+    ht = model.hitran
+    p, T = float(pressure), float(temperature)
+    nu_s = ht.nu + p / P_REF * ht.delta_air
+    gamma_l = ((ht.gamma_air * (1.0 - model.vmr)
+                + ht.gamma_self * model.vmr)
+               * p / P_REF * (T_REF / T) ** ht.n_air)
+    gamma_d = ((SQRT_2LN2 / C_LIGHT) * np.sqrt(K_BOLTZ / MASS_MOL)
+               * np.sqrt(T) * ht.nu / np.sqrt(model._weights))
+    y = SQRT_LN2 * gamma_l / gamma_d
+    pairs = {(int(m), int(i)) for m, i in zip(ht.mol, ht.iso)}
+    qratio_map = {mi: tips.qoft_ratio(*mi, T) for mi in pairs}
+    qratio = np.array([qratio_map[(int(m), int(i))]
+                       for m, i in zip(ht.mol, ht.iso)])
+    s_corr = (qratio
+              * np.exp(C2 * ht.elower * (1.0 / T_REF - 1.0 / T))
+              * np.expm1(-C2 * ht.nu / T) / np.expm1(-C2 * ht.nu / T_REF))
+    s = ht.sw * np.where(ht.elower != -1.0, s_corr, 1.0)
+    return nu_s, s, gamma_d, y
+
+
+def make_voigt_plan(model: HitranModel, grid, interpret=None):
+    """Build a Pallas tiling plan for repeated (p, T) evaluations of this
+    model on a fixed grid (see pallas.voigt_kernel.VoigtPlan)."""
+    from vsmartmom.pallas.voigt_kernel import VoigtPlan
+    return VoigtPlan(np.asarray(grid, np.float64), model.hitran.nu,
+                     model.wing_cutoff, interpret=interpret)
+
+
 def compute_absorption_cross_section(model: HitranModel, grid, pressure,
                                      temperature, wavelength_flag=False,
-                                     dtype=jnp.float64):
+                                     dtype=jnp.float64, engine="dense",
+                                     plan=None):
     """Cross-section [cm^2/molec] on the given wavenumber (cm^-1) or
     wavelength (nm, with wavelength_flag) grid.
 
+    engine='dense' (default): f64 jnp chunk sweep (the HAPI-gate path).
+    engine='pallas': f32 TPU tile kernel (pass a cached ``plan`` from
+    make_voigt_plan to amortize the host bucketing across (p, T) calls).
     ref: compute_absorption_cross_section.jl:19-130
     """
+    if engine == "pallas":
+        if wavelength_flag:
+            grid = np.sort(1e7 / np.asarray(grid, np.float64))
+        if plan is None:
+            plan = make_voigt_plan(model, grid)
+        nu_s, s, gamma_d, y = line_parameters(model, pressure, temperature)
+        res = plan.run(nu_s, s, gamma_d, y)
+        return res[::-1] if wavelength_flag else res
     grid = np.asarray(grid, dtype=np.float64)
     wl_grid = grid
     if wavelength_flag:
