@@ -27,6 +27,7 @@ from vsmartmom.core.surface import (brdf_surface_layer,
                                     lambertian_surface_layer)
 from vsmartmom.scattering.phase import Polarization, compute_Z_moments
 from vsmartmom.util.quadrature import QuadPoints, nearest_point
+from vsmartmom.util.timing import timeit
 
 
 @dataclasses.dataclass
@@ -166,13 +167,14 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     to_dev = lambda x: jnp.asarray(x, dtype)
     comps = []
     for m in range(max_m):
-        z_pp_list, z_mp_list = [], []
-        for gc in band.greeks:
-            zpp, zmp = compute_Z_moments(pol, quad.qp_mu, gc, m)
-            z_pp_list.append(zpp)
-            z_mp_list.append(zmp)
-        z_pp_c = to_dev(np.stack(z_pp_list))
-        z_mp_c = to_dev(np.stack(z_mp_list))
+        with timeit("Z moments"):
+            z_pp_list, z_mp_list = [], []
+            for gc in band.greeks:
+                zpp, zmp = compute_Z_moments(pol, quad.qp_mu, gc, m)
+                z_pp_list.append(zpp)
+                z_mp_list.append(zmp)
+            z_pp_c = to_dev(np.stack(z_pp_list))
+            z_mp_c = to_dev(np.stack(z_mp_list))
 
         # brdf_fourier_matrix already carries the (2/pi) integral factor
         # common to every moment (the reference splits it as ff * 2 between
@@ -181,21 +183,23 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                                                n_stokes))
                     if is_brdf else None)
 
-        comp, hdr_j_m_dev = _fourier_step(
-            to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
-            z_pp_c, z_mp_c, to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n),
-            to_dev(d_vec), to_dev(i0_vec), jnp.asarray(albedo, dtype),
-            spectral_albedo, jnp.asarray(quad.mu0, dtype),
-            jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
-            rho_brdf,
-            i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
-            n_spec=n_spec, solver=solver)
+        with timeit("fourier step (layer scan + surface)"):
+            comp, hdr_j_m_dev = _fourier_step(
+                to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
+                z_pp_c, z_mp_c, to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n),
+                to_dev(d_vec), to_dev(i0_vec), jnp.asarray(albedo, dtype),
+                spectral_albedo, jnp.asarray(quad.mu0, dtype),
+                jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
+                rho_brdf,
+                i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
+                n_spec=n_spec, solver=solver)
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 
         # --- azimuthal synthesis (ref: tools/postprocessing_vza.jl:9-60) ---
-        j_m = np.asarray(comp.j_m)   # (nSpec, N)
-        j_p = np.asarray(comp.j_p)
+        with timeit("postprocessing (device fetch)"):
+            j_m = np.asarray(comp.j_m)   # (nSpec, N)
+            j_p = np.asarray(comp.j_p)
         hdr_j_m = np.asarray(hdr_j_m_dev) if return_hdr else None
         weight = 0.5 if m == 0 else 1.0
         for i in range(len(vza)):
