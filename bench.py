@@ -34,6 +34,12 @@ def main():
     a = {k: jax.device_put(v) for k, v in args.items()
          if isinstance(v, np.ndarray)}
 
+    # host-precomputed static doubling count (uniform layers here), the
+    # same decision rt_run_band makes
+    tau_scat = float(np.max(args["tau"] * args["omega"]))
+    dmax = min(tau_scat, 0.004 * float(args["min_qp_mu"]))
+    nd = int(np.ceil(np.log2(max(tau_scat / dmax, 1.0))))
+
     def run(is_m0):
         comp, _ = _fourier_step(
             a["tau"], a["omega"], a["zw"], a["z_pp_c"], a["z_mp_c"],
@@ -41,7 +47,8 @@ def main():
             args["albedo"], None, args["mu0"], args["mu0_node"],
             args["min_qp_mu"],
             i_mu0_n=static["i_mu0_n"], n_stokes=static["n_stokes"],
-            is_m0=is_m0, n_spec=static["n_spec"], solver="schulz")
+            is_m0=is_m0, n_spec=static["n_spec"], solver="schulz",
+            ndoubl_static=nd)
         return comp.j_m
 
     # NOTE: on the axon-tunneled TPU, block_until_ready returns before device

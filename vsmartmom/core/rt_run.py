@@ -49,11 +49,12 @@ class BandRTInputs:
 
 
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
-                                   "solver"))
+                                   "solver", "ndoubl_static"))
 def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                   albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                   rho_brdf=None,
-                  *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu"):
+                  *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
+                  ndoubl_static=None):
     """One Fourier moment: layer scan + surface. Returns composite layer."""
     # The doubling recursion amplifies rounding over ~10 iterations/layer:
     # force true-f32 MXU passes (TPU default would drop to bf16 inputs).
@@ -62,13 +63,15 @@ def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec, albedo,
             spectral_albedo, mu0, mu0_node, min_qp_mu, rho_brdf,
             i_mu0_n=i_mu0_n,
-            n_stokes=n_stokes, is_m0=is_m0, n_spec=n_spec, solver=solver)
+            n_stokes=n_stokes, is_m0=is_m0, n_spec=n_spec, solver=solver,
+            ndoubl_static=ndoubl_static)
 
 
 def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                        albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                        rho_brdf=None,
-                       *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu"):
+                       *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
+                       ndoubl_static=None):
     rsolve = make_rsolve(solver)
     dtype = tau.dtype
     n = qp.shape[0]
@@ -87,7 +90,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
         added = make_added_layer(
             tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
             i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye,
-            rsolve=rsolve)
+            rsolve=rsolve, ndoubl_static=ndoubl_static)
         return interaction(carry, added, eye, rsolve=rsolve), None
 
     init = vacuum_layer(n_spec, n, dtype)
@@ -164,6 +167,21 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     bhr_uw = np.zeros(n_spec)
     bhr_dw = np.zeros(n_spec)
 
+    # Statically-unrolled doubling when the per-layer counts are nearly
+    # uniform (XLA pipelines the unrolled loop ~6% faster than the traced
+    # while_loop and it becomes reverse-mode differentiable); with a wide
+    # spread the per-layer traced count does less total work.
+    ndoubl_static = None
+    if isinstance(band.tau, np.ndarray) and isinstance(band.omega,
+                                                       np.ndarray):
+        tau_scat = np.max(band.tau * band.omega, axis=1)
+        pos = tau_scat > 0
+        if np.any(pos):
+            dmax = np.minimum(tau_scat[pos], 0.004 * min_qp_mu)
+            nd = np.ceil(np.log2(np.maximum(tau_scat[pos] / dmax, 1.0)))
+            if nd.max() - nd.min() <= 2:
+                ndoubl_static = int(nd.max())
+
     to_dev = lambda x: jnp.asarray(x, dtype)
     comps = []
     for m in range(max_m):
@@ -192,7 +210,8 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
                 rho_brdf,
                 i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
-                n_spec=n_spec, solver=solver)
+                n_spec=n_spec, solver=solver,
+                ndoubl_static=ndoubl_static)
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 
