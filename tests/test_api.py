@@ -6,6 +6,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 import vsmartmom
 from vsmartmom import (default_parameters, model_from_parameters,
@@ -81,3 +82,28 @@ def test_profile_fields_hydrostatic():
     assert np.all((tau_r > 0.01) & (tau_r < 0.05))
     assert model.tau_abs[0].shape == (len(params.spec_bands[0]),
                                       prof.n_layers)
+
+
+def test_reference_yaml_fixtures_parse():
+    """The reference's own shipped parameter files parse with identical
+    semantics (schema compatibility gate; fixtures copied verbatim from
+    ref test/test_parameters/)."""
+    import glob
+    import os
+    base = os.path.join(os.path.dirname(__file__), "data", "ref_yaml")
+    files = sorted(glob.glob(os.path.join(base, "*.yaml")))
+    assert len(files) >= 5
+    for f in files:
+        p = parameters_from_yaml(f)
+        assert len(p.spec_bands) >= 1
+        # VS configs give one surface for several (Raman-split) bands
+        assert len(p.surfaces) in (1, len(p.spec_bands))
+        assert p.polarization_type in ("Stokes_I", "Stokes_IQU",
+                                       "Stokes_IQUV")
+    # spot-check numeric semantics of the O2 A-band file
+    # (spec_bands: "(1e7/775):0.05:(1e7/755)")
+    p = parameters_from_yaml(os.path.join(base, "O2Parameters.yaml"))
+    b = p.spec_bands[0]
+    assert b[0] == pytest.approx(1e7 / 775, rel=1e-10)
+    assert b[1] - b[0] == pytest.approx(0.05, rel=1e-9)
+    assert b[-1] <= 1e7 / 755

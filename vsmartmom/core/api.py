@@ -66,7 +66,10 @@ def rt_run(model: RTModel, i_band: Union[int, Sequence[int]] = 0,
     Rs, Ts = [], []
     for ib in bands:
         band = build_band_inputs(model, ib)
-        surface = model.params.surfaces[ib]
+        # reuse the last surface when fewer are given than bands
+        # (the reference's VS configs do this)
+        surfaces = model.params.surfaces
+        surface = surfaces[min(ib, len(surfaces) - 1)]
         R, T = rt_run_band(model.pol, model.quad_points, band,
                            model.obs_geom.vza, model.obs_geom.vaz,
                            model.params.max_m, surface, dtype=dtype)
