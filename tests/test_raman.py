@@ -293,3 +293,128 @@ def test_vs_anti_stokes_negligible_cold():
     assert w10 < w01 * 1e-3
     # anti-Stokes shifts are blueward (negative source offsets)
     assert all(s.i_shift.max() < 0 for s in s10)
+
+
+# --- concatenated-band (_plus) modes -----------------------------------------
+
+def test_rrs_plus_equals_per_band_runs():
+    """RRS_plus on a concatenated two-band axis == two independent
+    single-band RRS runs (coupling never crosses band boundaries).
+    ref: raman_atmo_prop.jl getRamanSSProp!(RRS_plus):75-117."""
+    from vsmartmom.core.rt_raman import rt_run_band_rrs
+    from vsmartmom.inelastic.plus import make_rrs_plus
+
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 6, 45.0, [0.0], pol.n)
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.0}
+    g1 = np.arange(12740.0, 13180.0, 8.0)
+    g2 = np.arange(14300.0, 14740.0, 8.0)
+    cb = make_rrs_plus([g1, g2], T=250.0, j_max=16)
+    n_tot = cb.n_spec
+    assert cb.band_spec_lim == [(0, len(g1)), (len(g1), n_tot)]
+
+    rng = np.random.default_rng(3)
+    tau_rayl = np.full((2, n_tot), 0.12)
+    tau_abs = rng.uniform(0.0, 0.3, (2, n_tot))
+    tau = tau_rayl + tau_abs
+    f_rayl = tau_rayl / tau
+
+    def band_inputs(sl, cab):
+        return BandRTInputs(
+            tau=tau[:, sl], omega=tau_rayl[:, sl] * cab / tau[:, sl],
+            zw=np.ones((2, 1, tau[:, sl].shape[1])),
+            greeks=[get_greek_rayleigh(cb.depol_rayl)])
+
+    # concatenated run: per-band Cabannes fractions on the joint axis
+    omega_j = tau_rayl.copy()
+    for (lo, hi), c in zip(cb.band_spec_lim, cb.omega_cabannes):
+        omega_j[:, lo:hi] *= c
+    band_j = BandRTInputs(tau=tau, omega=omega_j / tau,
+                          zw=np.ones((2, 1, n_tot)),
+                          greeks=[get_greek_rayleigh(cb.depol_rayl)])
+    Rj, _, ieRj, _ = rt_run_band_rrs(pol, quad, band_j, cb.specs, f_rayl,
+                                     [15.0], [0.0], 2, surf)
+
+    for (lo, hi), g, spec in zip(cb.band_spec_lim, [g1, g2], cb.specs):
+        single = make_rrs(g, T=250.0, j_max=16)
+        Rs, _, ieRs, _ = rt_run_band_rrs(
+            pol, quad, band_inputs(slice(lo, hi), single.omega_cabannes),
+            single, f_rayl[:, lo:hi], [15.0], [0.0], 2, surf)
+        np.testing.assert_allclose(Rj[..., lo:hi], Rs, rtol=1e-10)
+        np.testing.assert_allclose(ieRj[..., lo:hi], ieRs, rtol=1e-8,
+                                   atol=1e-14)
+
+
+def test_vs_plus_monochromatic_cross_band():
+    """VS_0to1_plus: a monochromatic source (band 1) fills the N2/O2
+    vibrationally shifted windows (bands 2-3) and nothing else.
+    ref: raman_atmo_prop.jl getRamanSSProp!(VS_0to1_plus):119-252."""
+    from vsmartmom.core.rt_raman import rt_run_band_rrs
+    from vsmartmom.inelastic.plus import make_vs_plus
+    from vsmartmom.inelastic.xsec import (rotational_raman_lines,
+                                          vibrational_raman_lines)
+    from vsmartmom.inelastic.constants import molecular_constants
+
+    nu_inc = 25000.0                       # 400 nm
+    cb = make_vs_plus(nu_inc, T=250.0, direction="0to1", dnu=4.0,
+                      margin=4.0, j_max=12)
+    assert len(cb.grids) == 3 and len(cb.grids[0]) == 1
+    assert 0.94 < cb.omega_cabannes[0] < 0.99
+    assert np.all(cb.omega_cabannes[1:] == 1.0)
+
+    # deposit conserves the total line strength
+    mols = [molecular_constants("N2", 0.79),
+            molecular_constants("O2", 0.21)]
+    rot = [rotational_raman_lines(m, nu_inc, 250.0, 12) for m in mols]
+    sigma_rayl = sum(v * ln.sigma_rayl_coeff
+                     for ln, v in zip(rot, [0.79, 0.21])) * nu_inc**4
+    expect = sum(v * np.sum(co * (nu_inc + sh) ** 4)
+                 for v, (sh, co, _r) in zip(
+                     [0.79, 0.21],
+                     [vibrational_raman_lines(m, nu_inc, 250.0, "0to1", 12)
+                      for m in mols])) / sigma_rayl
+    got = sum(s.w.sum() for s in cb.specs)
+    assert got == pytest.approx(expect, rel=1e-10)
+
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 6, 45.0, [0.0], pol.n)
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.0}
+    n_tot = cb.n_spec
+    tau_rayl = np.full((2, n_tot), 0.2)
+    band = BandRTInputs(tau=tau_rayl, omega=np.ones_like(tau_rayl),
+                        zw=np.ones((2, 1, n_tot)),
+                        greeks=[get_greek_rayleigh(cb.depol_rayl)])
+    R, _, ieR, _ = rt_run_band_rrs(pol, quad, band,
+                                   cb.specs, np.ones_like(tau_rayl),
+                                   [0.0], [0.0], 2, surf)
+    fill = ieR[0, 0]
+    assert fill[cb.i_ref] == 0.0           # no VS into the incident column
+    lo2, hi2 = cb.band_spec_lim[1]
+    lo3, hi3 = cb.band_spec_lim[2]
+    assert fill[lo2:hi2].max() > 0 and fill[lo3:hi3].max() > 0
+    # magnitude: vibrational Raman is ~1e-3 of the elastic radiance in sum
+    ratio = fill.sum() / R[0, 0, cb.i_ref]
+    assert 1e-5 < ratio < 1e-2
+    # outputs with zero deposited weight stay exactly zero
+    w_all = np.zeros(n_tot)
+    for s in cb.specs:
+        np.add.at(w_all, s.i_out, s.w)
+    np.testing.assert_array_equal(fill[w_all == 0.0], 0.0)
+
+
+def test_rvrs_plus_adds_rotational_window():
+    """RVRS = VS_plus + rotational window around the incident line."""
+    from vsmartmom.inelastic.plus import make_rvrs_plus, make_vs_plus
+    nu_inc = 25000.0
+    cb = make_rvrs_plus(nu_inc, T=250.0, dnu=4.0, margin=4.0, j_max=12,
+                        rrs_dnu=2.0)
+    vs = make_vs_plus(nu_inc, T=250.0, dnu=4.0, margin=4.0, j_max=12)
+    assert len(cb.grids) == len(vs.grids) + 1
+    rot_lo, rot_hi = cb.band_spec_lim[-1]
+    rot_w = np.zeros(cb.n_spec)
+    for s in cb.specs:
+        np.add.at(rot_w, s.i_out, s.w)
+    # rotational window captures ~(1-cab)/cab of the Rayleigh strength
+    cab = cb.omega_cabannes[0]
+    assert rot_w[rot_lo:rot_hi].sum() == pytest.approx((1 - cab) / cab,
+                                                       rel=2e-2)

@@ -1,13 +1,14 @@
-"""Inelastic (rotational-Raman) doubling-adding RT core.
+"""Inelastic (Raman) doubling-adding RT core.
 
 TPU-native design. The reference implements ~2000 lines of index-shifted
 CUDA kernels for the Raman-coupled doubling/adding equations
-(ref: src/CoreRT/CoreKernel/{elemental,doubling,interaction}_inelastic.jl).
+(ref: src/CoreRT/CoreKernel/{elemental,doubling,interaction}_inelastic.jl
+ and the concatenated-band variants *_inelastic_plus.jl).
 The key observation used here: the ``ie*`` arrays are *first-order
 perturbations*, and every one of those update rules is exactly the elastic
 adding algebra applied to upper-triangular 2x2 block operators
 
-    O = [[E(n1), ie(n1, dn)], [0, E(n0)]],  n0 = n1 + shift(dn)
+    O = [[E(n1), ie(n1, dn)], [0, E(n0)]],  n0 = src(dn, n1)
 
 whose diagonal blocks are the elastic operators at the output (n1) and
 source (n0) wavelengths and whose off-diagonal block is the Raman coupling.
@@ -17,12 +18,21 @@ Block products/inverses give the mixed-wavelength rules mechanically:
     ((I-M)^-1)_ie = (I-M_1)^-1 M_ie (I-M_0)^-1
 
 so the whole inelastic core is ~10 algebraic lines per operation, vmapped
-over the Raman shift axis, with the "n0" operands obtained by rolling the
+over the Raman shift axis, with the "n0" operands obtained by gathering the
 elastic arrays along the spectral axis. (The reference hand-expanded these
 products; two of its expansions contain ordering/sign slips on commutator
 terms — doubling_inelastic.jl:104-118, elemental_inelastic.jl:131-136 —
 which the systematic block algebra avoids; we verify against brute-force
 composition of the full (2N x 2N) block matrices in tests.)
+
+Coupling representation (unifies RRS / RRS_plus / VS_plus / RVRS): each
+Raman "shift" row dn carries a per-output source-index map src[dn, n1], a
+validity mask, and a per-output weight w[dn, n1].  For plain RRS the map is
+the banded roll n1 + shift[dn] with a scalar weight (ref:
+Inelastic/types.jl RRS i_lambda1lambda0/omega_lambda1lambda0); for the
+concatenated-band ``_plus`` modes it holds absolute indices into the
+concatenated spectral axis (ref: Inelastic/types.jl RRS_plus/VS_*_plus
+i_lambda1lambda0_all, raman_atmo_prop.jl:211-244).
 
 Shapes: elastic arrays (nSpec, N, N) / (nSpec, N); ie arrays carry a
 leading Raman-shift axis (nR, nSpec, N, N) / (nR, nSpec, N).
@@ -57,6 +67,44 @@ def zero_ie(n_r: int, n_spec: int, n: int, dtype) -> IELayer:
     return IELayer(zm, zm, zm, zm, zv, zv)
 
 
+# --- source-index coupling maps ---------------------------------------------
+
+def coupling_rows_from_shifts(shifts, n_spec: int):
+    """Banded rolls: src[dn, n1] = n1 + shifts[dn] (clipped), plus mask."""
+    idx = jnp.arange(n_spec)
+    src = idx[None, :] + jnp.asarray(shifts)[:, None]
+    valid = (src >= 0) & (src < n_spec)
+    return jnp.clip(src, 0, n_spec - 1).astype(jnp.int32), valid
+
+
+def _as_rows(shift, n_spec: int):
+    """Scalar/1-D int shift(s) -> (src, valid) rows; pass tuples through."""
+    if isinstance(shift, tuple):
+        return shift
+    s = jnp.asarray(shift)
+    if s.ndim == 0:
+        src, valid = coupling_rows_from_shifts(s[None], n_spec)
+        return src[0], valid[0]
+    if s.ndim == 1 and jnp.issubdtype(s.dtype, jnp.integer):
+        return coupling_rows_from_shifts(s, n_spec)
+    raise TypeError("shift must be int scalar/vector or (src, valid) tuple")
+
+
+def take0(x, src, valid):
+    """x evaluated at the source index map (zero outside the grid)."""
+    y = jnp.take(x, src, axis=0, mode="clip")
+    return jnp.where(valid.reshape(valid.shape + (1,) * (x.ndim - 1)),
+                     y, 0.0)
+
+
+def take0_id(a, src, valid, eye):
+    """Like take0 for (I - B)-type matrices: identity outside the grid,
+    keeping the batched solves nonsingular (the ie operands there are zero
+    anyway, so the result is unaffected)."""
+    y = jnp.take(a, src, axis=0, mode="clip")
+    return jnp.where(valid[:, None, None], y, eye)
+
+
 def roll0(x, s):
     """x evaluated at source index n + s (zero outside the grid)."""
     n = x.shape[0]
@@ -67,9 +115,7 @@ def roll0(x, s):
 
 
 def roll0_id(a, s, eye):
-    """Like roll0 for (I - B)-type matrices: identity outside the grid,
-    keeping the batched solves nonsingular (the ie operands there are zero
-    anyway, so the result is unaffected)."""
+    """Identity-outside variant of roll0 (see take0_id)."""
     n = a.shape[0]
     y = jnp.roll(a, -s, axis=0)
     idx = jnp.arange(n)
@@ -83,15 +129,20 @@ def ie_elemental(shift, w_shift, dtau, f_rayl, tau_sum, z_pp_r, z_mp_r,
                  qp, wct2, wct02, i0_vec, i_mu0_n, n_stokes, mu0_node):
     """Raman-coupled single-scattering operators for ONE shift dn.
 
-    Two-wavelength generalization of the elastic elemental expressions:
-    incident light attenuates with dtau0 (source wavelength), scattered
-    light with dtau1 (ref: elemental_inelastic.jl:93-162, 320-383; smooth
-    equal-dtau limits implemented with expm1 instead of branch thresholds).
+    ``shift`` is an int offset or an (src, valid) index-map row; ``w_shift``
+    a scalar or per-output (nSpec,) coupling weight.  Two-wavelength
+    generalization of the elastic elemental expressions: incident light
+    attenuates with dtau0 (source wavelength), scattered light with dtau1
+    (ref: elemental_inelastic.jl:93-162, 320-383; smooth equal-dtau limits
+    implemented with expm1 instead of branch thresholds).
     Returns (ier_mp, iet_pp, iej_p, iej_m) for output wavelengths n1.
     """
+    n_spec = dtau.shape[0]
+    src, valid = _as_rows(shift, n_spec)
     dt1 = dtau[:, None, None]
-    dt0_s = roll0(dtau, shift)
-    f0 = roll0(f_rayl * w_shift, shift)       # coupling strength at source
+    dt0_s = take0(dtau, src, valid)
+    # coupling strength: w(output) * Rayleigh-scatter fraction at source
+    f0 = w_shift * take0(f_rayl, src, valid)
     dt0 = dt0_s[:, None, None]
     cpl = f0[:, None, None]
     mu_i = qp[:, None]
@@ -129,7 +180,6 @@ def ie_elemental(shift, w_shift, dtau, f_rayl, tau_sum, z_pp_r, z_mp_r,
     t_ie = jnp.where(col_mask[None, None, :], t_ie, 0.0)
 
     # --- SFI sources ---
-    n_spec = dtau.shape[0]
     z_pp_i0 = z_pp_r @ i0_vec                 # (N,)
     z_mp_i0 = z_mp_r @ i0_vec
     idx = jnp.arange(qp.shape[0])
@@ -161,7 +211,7 @@ def ie_elemental(shift, w_shift, dtau, f_rayl, tau_sum, z_pp_r, z_mp_r,
              * (mu0_node * dt0v / jnp.where(denom_m == 0, 1.0, denom_m))
              * (-jnp.expm1(-(dt1v / mu_iv + dt0v / mu0_node))))
 
-    atten = jnp.exp(-roll0(tau_sum, shift) / mu0_node)[:, None]
+    atten = jnp.exp(-take0(tau_sum, src, valid) / mu0_node)[:, None]
     return r_ie, t_ie, iej_p * atten, iej_m * atten
 
 
@@ -173,7 +223,11 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
 
     Elastic recursion identical to rt.doubling; ie updates are the
     off-diagonal blocks of the same algebra (see module docstring).
+    ``shifts``: int (nR,) banded offsets or a ((nR, nSpec) src,
+    (nR, nSpec) valid) tuple.
     """
+    srcs, valids = _as_rows(shifts, r.shape[0])
+
     def body(_, state):
         r, t, jp, jm, ek, ier, iet, iejp, iejm = state
         a = eye - bmm(r, r)
@@ -183,10 +237,10 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
         u1 = jp + bmv(r, j1m)
         u2 = j1m + bmv(r, jp)
 
-        def one_shift(s, ier_s, iet_s, iejp_s, iejm_s):
-            a0 = roll0_id(a, s, eye)
-            t0 = roll0(t, s)
-            r0 = roll0(r, s)
+        def one_shift(src, valid, ier_s, iet_s, iejp_s, iejm_s):
+            a0 = take0_id(a, src, valid, eye)
+            t0 = take0(t, src, valid)
+            r0 = take0(r, src, valid)
             rr_off = bmm(r, ier_s) + bmm(ier_s, r0)
             tt_off = rsolve(bmm(tt, rr_off) + iet_s, a0)
 
@@ -196,13 +250,17 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
 
             iej1p = iejp_s * ek[:, None]
             iej1m = iejm_s * ek[:, None]
-            u1_off = iejp_s + bmv(r, iej1m) + bmv(ier_s, roll0(j1m, s))
-            u2_off = iej1m + bmv(r, iejp_s) + bmv(ier_s, roll0(jp, s))
-            iejp_n = iej1p + bmv(tt, u1_off) + bmv(tt_off, roll0(u1, s))
-            iejm_n = iejm_s + bmv(tt, u2_off) + bmv(tt_off, roll0(u2, s))
+            u1_off = iejp_s + bmv(r, iej1m) + bmv(ier_s,
+                                                  take0(j1m, src, valid))
+            u2_off = iej1m + bmv(r, iejp_s) + bmv(ier_s,
+                                                  take0(jp, src, valid))
+            iejp_n = iej1p + bmv(tt, u1_off) + bmv(tt_off,
+                                                   take0(u1, src, valid))
+            iejm_n = iejm_s + bmv(tt, u2_off) + bmv(tt_off,
+                                                    take0(u2, src, valid))
             return ier_n, iet_n, iejp_n, iejm_n
 
-        ier, iet, iejp, iejm = jax.vmap(one_shift)(shifts, ier, iet,
+        ier, iet, iejp, iejm = jax.vmap(one_shift)(srcs, valids, ier, iet,
                                                    iejp, iejm)
 
         jm = jm + bmv(tt, u2)
@@ -223,8 +281,12 @@ def raman_make_added_layer(tau, omega, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum,
     """One atmospheric layer: elastic + Raman elemental, joint doubling.
 
     ref: rt_kernel.jl:278-343 (RRS path). Returns (LayerRT, IELayer).
+    ``shifts`` banded ints or (src, valid) rows; ``w_shifts`` (nR,) scalars
+    or (nR, nSpec) per-output weights.
     """
     dtype = tau.dtype
+    n_spec = tau.shape[0]
+    srcs, valids = _as_rows(shifts, n_spec)
     tau_scat_max = jnp.max(tau * omega)
     # Elemental step 0.004*min(mu): single-scatter error O((dtau/mu)^2)
     # stays < ~3e-5 of radiance (measured f64), 2 fewer doublings/layer
@@ -239,12 +301,12 @@ def raman_make_added_layer(tau, omega, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum,
         dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
         i0_vec, i_mu0_n, n_stokes, mu0_node)
 
-    def one_shift(s, w, g):
+    def one_shift(src, valid, w, g):
         # per-group Raman phase matrix (g indexes the (G, N, N) stacks)
-        return ie_elemental(s, w, dtau, f_rayl, tau_sum, z_pp_r[g],
-                            z_mp_r[g], qp, wct2, wct02, i0_vec, i_mu0_n,
-                            n_stokes, mu0_node)
-    ier, iet, iejp, iejm = jax.vmap(one_shift)(shifts, w_shifts, gids)
+        return ie_elemental((src, valid), w, dtau, f_rayl, tau_sum,
+                            z_pp_r[g], z_mp_r[g], qp, wct2, wct02, i0_vec,
+                            i_mu0_n, n_stokes, mu0_node)
+    ier, iet, iejp, iejm = jax.vmap(one_shift)(srcs, valids, w_shifts, gids)
 
     # D-flip, joint doubling, unflip (rows live on the output side).
     dv = d_vec[None, :, None]
@@ -254,8 +316,8 @@ def raman_make_added_layer(tau, omega, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum,
     ier_f = dv[None] * ier
     iejm_f = dvv[None] * iejm
     r_f, t_pp, j_p, jm_f, _, ier_f, iet, iejp, iejm_f = raman_doubling(
-        r_f, t_pp, j_p, jm_f, expk, ier_f, iet, iejp, iejm_f, shifts,
-        ndoubl, eye, rsolve)
+        r_f, t_pp, j_p, jm_f, expk, ier_f, iet, iejp, iejm_f,
+        (srcs, valids), ndoubl, eye, rsolve)
     r_mp = dv * r_f
     j_m = dvv * jm_f
     ier = dv[None] * ier_f
@@ -277,6 +339,7 @@ def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
     Off-diagonal block algebra of rt.interaction
     (ref: interaction_inelastic.jl:230-342).
     """
+    srcs, valids = _as_rows(shifts, comp.r_mp.shape[0])
     a1 = eye - bmm(added.r_mp, comp.r_pm)
     t01 = rsolve(comp.t_mm, a1)
     v1 = bmv(added.r_mp, comp.j_p) + added.j_m
@@ -287,31 +350,30 @@ def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
     v2 = comp.j_p + bmv(comp.r_pm, added.j_m)
     w2 = bmm(comp.r_pm, added.t_mm)
 
-    def one_shift(s, c_ie, a_ie):
-        m1_off = bmm(a_ie.r_mp, roll0(comp.r_pm, s)) + bmm(added.r_mp,
-                                                           c_ie.r_pm)
-        t01_off = rsolve(bmm(t01, m1_off) + c_ie.t_mm, roll0_id(a1, s, eye))
-        v1_off = (bmv(a_ie.r_mp, roll0(comp.j_p, s))
+    def one_shift(src, valid, c_ie, a_ie):
+        tk = lambda x: take0(x, src, valid)
+        m1_off = bmm(a_ie.r_mp, tk(comp.r_pm)) + bmm(added.r_mp, c_ie.r_pm)
+        t01_off = rsolve(bmm(t01, m1_off) + c_ie.t_mm,
+                         take0_id(a1, src, valid, eye))
+        v1_off = (bmv(a_ie.r_mp, tk(comp.j_p))
                   + bmv(added.r_mp, c_ie.j_p) + a_ie.j_m)
-        iejm = c_ie.j_m + bmv(t01, v1_off) + bmv(t01_off, roll0(v1, s))
-        w1_off = bmm(a_ie.r_mp, roll0(comp.t_pp, s)) + bmm(added.r_mp,
-                                                           c_ie.t_pp)
-        ier_mp = c_ie.r_mp + bmm(t01, w1_off) + bmm(t01_off, roll0(w1, s))
-        iet_mm = bmm(t01, a_ie.t_mm) + bmm(t01_off, roll0(added.t_mm, s))
+        iejm = c_ie.j_m + bmv(t01, v1_off) + bmv(t01_off, tk(v1))
+        w1_off = bmm(a_ie.r_mp, tk(comp.t_pp)) + bmm(added.r_mp, c_ie.t_pp)
+        ier_mp = c_ie.r_mp + bmm(t01, w1_off) + bmm(t01_off, tk(w1))
+        iet_mm = bmm(t01, a_ie.t_mm) + bmm(t01_off, tk(added.t_mm))
 
-        m2_off = bmm(c_ie.r_pm, roll0(added.r_mp, s)) + bmm(comp.r_pm,
-                                                            a_ie.r_mp)
-        t21_off = rsolve(bmm(t21, m2_off) + a_ie.t_pp, roll0_id(a2, s, eye))
-        v2_off = (c_ie.j_p + bmv(c_ie.r_pm, roll0(added.j_m, s))
+        m2_off = bmm(c_ie.r_pm, tk(added.r_mp)) + bmm(comp.r_pm, a_ie.r_mp)
+        t21_off = rsolve(bmm(t21, m2_off) + a_ie.t_pp,
+                         take0_id(a2, src, valid, eye))
+        v2_off = (c_ie.j_p + bmv(c_ie.r_pm, tk(added.j_m))
                   + bmv(comp.r_pm, a_ie.j_m))
-        iejp = a_ie.j_p + bmv(t21, v2_off) + bmv(t21_off, roll0(v2, s))
-        iet_pp = bmm(t21, c_ie.t_pp) + bmm(t21_off, roll0(comp.t_pp, s))
-        w2_off = bmm(c_ie.r_pm, roll0(added.t_mm, s)) + bmm(comp.r_pm,
-                                                            a_ie.t_mm)
-        ier_pm = a_ie.r_pm + bmm(t21, w2_off) + bmm(t21_off, roll0(w2, s))
+        iejp = a_ie.j_p + bmv(t21, v2_off) + bmv(t21_off, tk(v2))
+        iet_pp = bmm(t21, c_ie.t_pp) + bmm(t21_off, tk(comp.t_pp))
+        w2_off = bmm(c_ie.r_pm, tk(added.t_mm)) + bmm(comp.r_pm, a_ie.t_mm)
+        ier_pm = a_ie.r_pm + bmm(t21, w2_off) + bmm(t21_off, tk(w2))
         return IELayer(ier_mp, ier_pm, iet_pp, iet_mm, iejp, iejm)
 
-    ie_new = jax.vmap(one_shift)(shifts, comp_ie, added_ie)
+    ie_new = jax.vmap(one_shift)(srcs, valids, comp_ie, added_ie)
 
     elastic_new = LayerRT(
         r_mp=comp.r_mp + bmm(t01, w1),
@@ -328,17 +390,17 @@ def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
                                    "solver"))
 def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
-                      f_rayl, shifts, w_shifts, gids, qp, wt, d_vec, i0_vec,
-                      albedo, mu0, mu0_node, min_qp_mu,
+                      f_rayl, srcs, valids, w_shifts, gids, qp, wt, d_vec,
+                      i0_vec, albedo, mu0, mu0_node, min_qp_mu,
                       *, i_mu0_n, n_stokes, is_m0, n_spec, solver):
-    """One Fourier moment of the RRS-coupled RT: joint elastic+ie layer
+    """One Fourier moment of the Raman-coupled RT: joint elastic+ie layer
     scan, Lambertian surface (no Raman at the surface).
     ref: rt_run.jl RRS path + rt_kernel.jl:278-343."""
     with jax.default_matmul_precision("highest"):
         rsolve = make_rsolve(solver)
         dtype = tau.dtype
         n = qp.shape[0]
-        n_r = shifts.shape[0]
+        n_r = srcs.shape[0]
         eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (n_spec, n, n))
         wct02 = jnp.asarray(0.5 if is_m0 else 0.25, dtype)
         wct2 = wt / 2.0 if is_m0 else wt / 4.0
@@ -354,11 +416,12 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
             z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
             added, added_ie = raman_make_added_layer(
                 tau_z, omega_z, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum_z,
-                f_rayl_z, shifts, w_shifts, gids, qp, wct2, wct02, i0_vec,
-                i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye,
-                rsolve)
+                f_rayl_z, (srcs, valids), w_shifts, gids, qp, wct2, wct02,
+                i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu,
+                eye, rsolve)
             comp, comp_ie = raman_interaction(comp, comp_ie, added,
-                                              added_ie, shifts, eye, rsolve)
+                                              added_ie, (srcs, valids),
+                                              eye, rsolve)
             return (comp, comp_ie), None
 
         init = (vacuum_layer(n_spec, n, dtype),
@@ -373,21 +436,58 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
             is_m0, dtype)
         surf_ie = zero_ie(n_r, n_spec, n, dtype)
         comp, comp_ie = raman_interaction(comp, comp_ie, surf, surf_ie,
-                                          shifts, eye, rsolve)
+                                          (srcs, valids), eye, rsolve)
         # sum coupling over all Raman shifts for the SFI outputs
         return comp, comp_ie.j_p.sum(axis=0), comp_ie.j_m.sum(axis=0)
 
 
+def build_coupling(specs, n_spec: int):
+    """Normalize inelastic coupling specs into dense per-output rows.
+
+    Each spec is an ``inelastic.rrs.RRS`` (banded: i_shift/w_shift, with an
+    optional band_range restricting outputs+sources to a sub-grid of the
+    concatenated axis) or an ``inelastic.plus.AbsoluteRaman`` (absolute
+    i_out/i_src/w rows).  Returns numpy (srcs, valids, ws, gids) with
+    shapes (nR, nSpec) x3 + (nR,).
+    """
+    srcs, valids, ws, gids = [], [], [], []
+    idx = np.arange(n_spec)
+    for g, s in enumerate(specs):
+        if hasattr(s, "i_out"):                 # absolute coupling rows
+            src = np.full(n_spec, int(s.i_src), np.int32)
+            w = np.zeros(n_spec)
+            np.add.at(w, np.asarray(s.i_out, np.int64), np.asarray(s.w))
+            srcs.append(src)
+            valids.append(np.ones(n_spec, bool))
+            ws.append(w)
+            gids.append(g)
+            continue
+        lo, hi = (0, n_spec)
+        if getattr(s, "band_range", None) is not None:
+            lo, hi = s.band_range
+        in_band = (idx >= lo) & (idx < hi)
+        for shift, w_s in zip(s.i_shift, s.w_shift):
+            src = idx + int(shift)
+            valid = in_band & (src >= lo) & (src < hi)
+            srcs.append(np.clip(src, 0, n_spec - 1).astype(np.int32))
+            valids.append(valid)
+            ws.append(np.where(valid, w_s, 0.0))
+            gids.append(g)
+    return (np.stack(srcs), np.stack(valids), np.stack(ws),
+            np.asarray(gids, np.int32))
+
+
 def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
                     surface, dtype=jnp.float64, solver=None):
-    """Forward run with Raman coupling (RRS and/or VS groups) for one band.
+    """Forward run with Raman coupling (RRS / VS / RVRS / ``_plus`` groups)
+    for one band or a concatenated multi-band spectral axis.
 
-    rrs: a single inelastic coupling spec (inelastic.rrs.RRS / the specs
-    from make_vs) or a list of them — each contributes its own shift set
-    and Raman phase matrix. f_rayl: (nZ, nSpec) Rayleigh-scattering
-    fraction tau_rayl/tau_total per layer. Returns (R, T, ieR, ieT), each
-    (n_vza, n_stokes, nSpec): elastic (Cabannes) radiances and the
-    first-order Raman corrections
+    rrs: a single inelastic coupling spec (inelastic.rrs.RRS, the specs
+    from make_vs, or inelastic.plus.AbsoluteRaman) or a list of them — each
+    contributes its own source-index rows and Raman phase matrix.
+    f_rayl: (nZ, nSpec) Rayleigh-scattering fraction tau_rayl/tau_total per
+    layer. Returns (R, T, ieR, ieT), each (n_vza, n_stokes, nSpec): elastic
+    (Cabannes) radiances and the first-order Raman corrections
     (ref: rt_run.jl:219-226 return R_SFI.., ieR_SFI..).
     """
     from vsmartmom.scattering.phase import compute_Z_moments
@@ -418,12 +518,11 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
     ieT = np.zeros_like(R)
 
     to_dev = lambda x: jnp.asarray(x, dtype)
-    shifts = jnp.asarray(np.concatenate([s.i_shift for s in specs]),
-                         jnp.int32)
-    w_shifts = to_dev(np.concatenate([s.w_shift for s in specs]))
-    gids = jnp.asarray(np.concatenate(
-        [np.full(len(s.i_shift), g, np.int32)
-         for g, s in enumerate(specs)]))
+    srcs_np, valids_np, ws_np, gids_np = build_coupling(specs, n_spec)
+    srcs = jnp.asarray(srcs_np)
+    valids = jnp.asarray(valids_np)
+    w_shifts = to_dev(ws_np)
+    gids = jnp.asarray(gids_np)
 
     for m in range(max_m):
         z_pp_list, z_mp_list = [], []
@@ -441,7 +540,7 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
             to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
             to_dev(np.stack(z_pp_list)), to_dev(np.stack(z_mp_list)),
             to_dev(np.stack(z_pp_r)), to_dev(np.stack(z_mp_r)),
-            to_dev(f_rayl), shifts, w_shifts, gids,
+            to_dev(f_rayl), srcs, valids, w_shifts, gids,
             to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n), to_dev(d_vec),
             to_dev(i0_vec), jnp.asarray(albedo, dtype),
             jnp.asarray(quad.mu0, dtype), jnp.asarray(mu0_node, dtype),

@@ -1,6 +1,9 @@
 """Inelastic (Raman) scattering (ref: src/Inelastic/InelasticScattering.jl)."""
 from vsmartmom.inelastic.constants import (MolecularConstants, energy_levels,
                                            molecular_constants)
+from vsmartmom.inelastic.plus import (AbsoluteRaman, ConcatBands,
+                                      make_rrs_plus, make_rvrs_plus,
+                                      make_vs_plus)
 from vsmartmom.inelastic.rrs import (RRS, greek_raman_coefs, make_rrs,
                                      make_vs)
 from vsmartmom.inelastic.xsec import (RamanLines, cabannes_fraction,
@@ -8,7 +11,9 @@ from vsmartmom.inelastic.xsec import (RamanLines, cabannes_fraction,
                                       rotational_raman_lines,
                                       vibrational_raman_lines)
 
-__all__ = ["MolecularConstants", "RRS", "RamanLines", "cabannes_fraction",
-           "energy_levels", "greek_raman_coefs", "make_rrs", "make_vs",
+__all__ = ["AbsoluteRaman", "ConcatBands", "MolecularConstants", "RRS",
+           "RamanLines", "cabannes_fraction", "energy_levels",
+           "greek_raman_coefs", "make_rrs", "make_rrs_plus",
+           "make_rvrs_plus", "make_vs", "make_vs_plus",
            "molecular_constants", "rayleigh_depol",
            "rotational_raman_lines", "vibrational_raman_lines"]

@@ -37,6 +37,10 @@ class RRS:
     omega_cabannes: float      # elastic Cabannes fraction
     greek_raman: GreekCoefs    # Greek coefs of the Raman phase matrix
     depol_rayl: float          # Rayleigh depolarization (for elastic Z)
+    # optional [lo, hi) output/source window on a concatenated spectral
+    # axis (the _plus concatenated-band mode, ref: Inelastic/types.jl
+    # RRS_plus bandSpecLim); None = the whole axis
+    band_range: Optional[tuple] = None
 
     @property
     def n_raman(self) -> int:
