@@ -418,3 +418,22 @@ def test_rvrs_plus_adds_rotational_window():
     cab = cb.omega_cabannes[0]
     assert rot_w[rot_lo:rot_hi].sum() == pytest.approx((1 - cab) / cab,
                                                        rel=2e-2)
+
+
+def test_apply_lineshape_conserves_line_strength():
+    """Doppler deposit onto a hires grid conserves each line's integral
+    and peaks at the line positions (ref: apply_lineshape.jl)."""
+    from vsmartmom.inelastic.constants import molecular_constants
+    from vsmartmom.inelastic.xsec import (apply_lineshape,
+                                          rotational_raman_lines)
+    mol = molecular_constants("N2", 0.79)
+    ln = rotational_raman_lines(mol, 13000.0, 250.0, 20)
+    grid = np.arange(-250.0, 250.0, 0.002)
+    sig = apply_lineshape(ln.shifts, ln.coeffs, 13000.0, grid, 250.0, 28.0)
+    keep = (ln.shifts > grid.min()) & (ln.shifts < grid.max())
+    expect = np.sum(ln.coeffs[keep] * (13000.0 + ln.shifts[keep]) ** 4)
+    got = np.trapezoid(sig, grid)
+    assert got == pytest.approx(expect, rel=2e-3)
+    i = np.argmax(sig)
+    j = np.argmax(ln.coeffs * (13000.0 + ln.shifts) ** 4)
+    assert abs(grid[i] - ln.shifts[j]) < 0.01

@@ -176,3 +176,40 @@ def vibrational_raman_lines(mol: MolecularConstants, nu_eff: float, T: float,
     coeffs.append(k_v * g_n[ok] * (2 * j[ok] + 1) * b_p2[ok] * boltz[ok]
                   * gamma_p**2 / z_pf)
     return (np.concatenate(shifts), np.concatenate(coeffs), float(rho_vib))
+
+
+def apply_lineshape(shifts, coeffs, nu0: float, grid_out,
+                    temperature: float, mol_mass: float,
+                    wing_cutoff_hwhm: float = 4.0):
+    """Deposit discrete Raman transitions onto a hires shift grid with a
+    Doppler (Gaussian) lineshape, conserving each line's integral.
+
+    shifts/coeffs: line positions [cm^-1, relative to nu0] and strengths
+    [cm^2 / (cm^-1)^4]; nu0: incident wavenumber [cm^-1]; grid_out:
+    equidistant output *shift* grid [cm^-1]; mol_mass in amu. Returns
+    sigma_out [cm^2 per cm^-1] on grid_out.
+
+    ref: src/Inelastic/src/apply_lineshape.jl apply_lineshape_! — the
+    reference loops transitions and mutates a view per line; here one
+    (nLines, nGrid) masked broadcast does all lines at once (TPU/vmap
+    friendly, and what XLA fuses into a single kernel).
+    """
+    shifts = np.asarray(shifts, np.float64)
+    coeffs = np.asarray(coeffs, np.float64)
+    grid_out = np.asarray(grid_out, np.float64)
+    k_boltz, m_amu = 1.380649e-23, 1.66053906892e-27
+    sqrt2ln2 = np.sqrt(2.0 * np.log(2.0))
+
+    nu = nu0 + shifts                                  # absolute [cm^-1]
+    gamma_d = (sqrt2ln2 / C_LIGHT_SI) * np.sqrt(
+        k_boltz * temperature / (m_amu * mol_mass)) * nu    # HWHM [cm^-1]
+    strength = coeffs * nu**4                          # [cm^2]
+
+    in_grid = (shifts > grid_out.min()) & (shifts < grid_out.max())
+    d = grid_out[None, :] - shifts[:, None]            # (nL, nG)
+    mask = (np.abs(d) <= wing_cutoff_hwhm * gamma_d[:, None]) \
+        & in_grid[:, None]
+    ln2 = np.log(2.0)
+    prof = np.sqrt(ln2 / np.pi) / gamma_d[:, None] * np.exp(
+        -ln2 * (d / gamma_d[:, None]) ** 2)
+    return np.sum(np.where(mask, strength[:, None] * prof, 0.0), axis=0)
