@@ -148,6 +148,14 @@ class AerosolSpec:
     tau_ref: float
     p0: float            # pressure peak [hPa in profile units; yaml gives Pa]
     sigma_p: float
+    # vertical density: 'gaussian' (default; Normal(p0, sigma_p) in p) or
+    # 'uniform' between p0 and p_hi (RAMI aerosol placement,
+    # ref: rami_tools.jl:118 Uniform(795, 1013))
+    profile_type: str = "gaussian"
+    p_hi: float = 0.0
+    # optional bimodal size distribution overriding (mu, sigma)
+    # (scattering.mie.BimodalAerosol; RAMI desert/continental shapes)
+    bimodal: Any = None
 
 
 @dataclasses.dataclass

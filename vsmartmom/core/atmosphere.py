@@ -138,3 +138,18 @@ def aerosol_layer_tau_gaussian(total_tau: float, p0: float, sigma_p: float,
            / (sigma_p * np.sqrt(2.0 * np.pi)))
     rho = pdf * profile.dz
     return (total_tau / rho.sum()) * rho
+
+
+def aerosol_layer_tau_uniform(total_tau: float, p_lo: float, p_hi: float,
+                              profile: AtmosphericProfile) -> np.ndarray:
+    """Aerosol optical depth per layer: uniform density in pressure between
+    p_lo and p_hi [hPa] (ref: rami_tools.jl:118 Uniform(795, 1013) aerosol
+    vertical placement; atmo_prof.jl:231-260 pdf-weighted profile)."""
+    inside = np.clip(np.minimum(profile.p_half[1:], p_hi)
+                     - np.maximum(profile.p_half[:-1], p_lo), 0.0, None)
+    dp = np.diff(profile.p_half)
+    rho = inside / dp * profile.dz
+    s = rho.sum()
+    if s <= 0:
+        raise ValueError("uniform aerosol layer does not overlap profile")
+    return (total_tau / s) * rho

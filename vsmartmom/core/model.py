@@ -100,10 +100,16 @@ def model_from_parameters(params: RTParameters) -> RTModel:
                 optics = truncate_phase(optics_raw, params.l_trunc,
                                         params.delta_angle)
                 aerosol_optics[i_band][i_aer] = optics
+                if getattr(aero, "profile_type", "gaussian") == "uniform":
+                    from vsmartmom.core.atmosphere import \
+                        aerosol_layer_tau_uniform
+                    vert = aerosol_layer_tau_uniform(1.0, aero.p0, aero.p_hi,
+                                                     profile)
+                else:
+                    vert = aerosol_layer_tau_gaussian(1.0, aero.p0,
+                                                      aero.sigma_p, profile)
                 tau_aer[i_band][i_aer, :] = (
-                    aero.tau_ref * (optics.k / k_ref)
-                    * aerosol_layer_tau_gaussian(1.0, aero.p0, aero.sigma_p,
-                                                 profile))
+                    aero.tau_ref * (optics.k / k_ref) * vert)
 
     return RTModel(params=params, aerosol_optics=aerosol_optics,
                    greek_rayleigh=greek_rayleigh, quad_points=quad_points,

@@ -174,3 +174,24 @@ def phase_function_monodisperse(r: float, lam: float, n_r: float, n_i: float):
            * 4 * np.pi * r**2 / c_sca[0])
     g = 0.5 * np.sum(w_mu * mu * f11)
     return mu, w_mu, f11, c_ext[0], c_sca[0], g
+
+
+@dataclasses.dataclass
+class BimodalAerosol:
+    """Two-mode log-normal mixture (fine + coarse) sharing one refractive
+    index — the RAMI4ATM desert/continental aerosol shape
+    (ref: test/rami/rami_tools.jl:52-117 MixtureModel of LogNormals)."""
+    mu_fine: float
+    sigma_fine: float
+    mu_coarse: float
+    sigma_coarse: float
+    frac_coarse: float   # number fraction of the coarse mode
+    n_r: float
+    n_i: float
+
+    def pdf(self, r):
+        fine = Aerosol(self.mu_fine, self.sigma_fine, self.n_r, self.n_i)
+        coarse = Aerosol(self.mu_coarse, self.sigma_coarse, self.n_r,
+                         self.n_i)
+        return ((1.0 - self.frac_coarse) * fine.pdf(r)
+                + self.frac_coarse * coarse.pdf(r))

@@ -33,9 +33,12 @@ class AerosolOptics:
 
 
 def _aerosol_from_spec(spec) -> Aerosol:
-    """Accept either a mie.Aerosol or a config AerosolSpec."""
-    if isinstance(spec, Aerosol):
+    """Accept a mie.Aerosol / BimodalAerosol (anything with .pdf) or a
+    config AerosolSpec."""
+    if hasattr(spec, "pdf"):
         return spec
+    if getattr(spec, "bimodal", None) is not None:
+        return spec.bimodal
     return Aerosol(mu=spec.mu, sigma=spec.sigma, n_r=spec.n_r, n_i=spec.n_i)
 
 
