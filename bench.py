@@ -37,8 +37,11 @@ def main():
     # host-precomputed static doubling count (uniform layers here), the
     # same decision rt_run_band makes
     tau_scat = float(np.max(args["tau"] * args["omega"]))
-    dmax = min(tau_scat, 0.004 * float(args["min_qp_mu"]))
+    mqm = float(args["min_qp_mu"])
+    dmax = min(tau_scat, 0.004 * mqm)
     nd = int(np.ceil(np.log2(max(tau_scat / dmax, 1.0))))
+    from vsmartmom.core.rt import ns_doubling_schedule
+    sched = ns_doubling_schedule(tau_scat, mqm, nd)
 
     def run(is_m0):
         comp, _ = _fourier_step(
@@ -48,7 +51,7 @@ def main():
             args["min_qp_mu"],
             i_mu0_n=static["i_mu0_n"], n_stokes=static["n_stokes"],
             is_m0=is_m0, n_spec=static["n_spec"], solver="schulz",
-            ndoubl_static=nd)
+            ndoubl_static=nd, ns_schedule=sched)
         return comp.j_m
 
     # NOTE: on the axon-tunneled TPU, block_until_ready returns before device

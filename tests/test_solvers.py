@@ -44,3 +44,43 @@ def test_schulz_full_rt_matches_lu_gate():
                        solver="schulz")
     i_err = np.abs(d["I_trues"][idx, 0] - R[:, 0, 0]) / d["I_trues"][idx, 0]
     assert i_err.max() < 0.002, i_err
+
+
+def test_ns_schedule_matches_fixed_iterations():
+    """Scheduled Newton-Schulz doubling == fixed-4 doubling to f64 rounding
+    on a random elemental layer (the schedule's slab-albedo bound keeps the
+    residual below tolerance at every step)."""
+    import jax
+    from vsmartmom.core.rt import (doubling, make_rsolve,
+                                   ns_doubling_schedule, ns_iters_for_bound)
+
+    assert ns_iters_for_bound(0.0) == 0
+    assert ns_iters_for_bound(1e-9) == 0
+    assert ns_iters_for_bound(0.99) == 4          # capped
+    # residual guarantee: b^(2^(i+1)) <= tol
+    for b in (1e-5, 1e-3, 0.05, 0.3, 0.8):
+        i = ns_iters_for_bound(b, tol=1e-8, cap=10)
+        assert b ** (2 ** (i + 1)) <= 1e-8 * (1 + 1e-12), (b, i)
+
+    rng = np.random.default_rng(7)
+    n, ns, nd = 24, 16, 8
+    tau_scat, mqm = 0.6, 0.15
+    sched = ns_doubling_schedule(tau_scat, mqm, nd)
+    assert len(sched) == nd and list(sched) == sorted(sched)
+
+    dtau = tau_scat / 2 ** nd
+    r0 = jnp.asarray(rng.uniform(0, 1.0, (ns, n, n)) * dtau / mqm)
+    t0 = jnp.asarray(np.broadcast_to(np.eye(n) * np.exp(-dtau / 0.5),
+                                     (ns, n, n)))
+    jp = jnp.asarray(rng.uniform(0, dtau, (ns, n)))
+    jm = jnp.asarray(rng.uniform(0, dtau, (ns, n)))
+    ek = jnp.full((ns,), np.exp(-dtau / 0.7))
+    eye = jnp.broadcast_to(jnp.eye(n), (ns, n, n))
+
+    ref = doubling(r0, t0, jp, jm, ek, nd, eye,
+                   rsolve=make_rsolve("schulz", 4))
+    out = doubling(r0, t0, jp, jm, ek, nd, eye,
+                   rsolve=make_rsolve("schulz", 4), ns_schedule=sched)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-8, atol=1e-12)

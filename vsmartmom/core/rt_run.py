@@ -49,12 +49,13 @@ class BandRTInputs:
 
 
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
-                                   "solver", "ndoubl_static"))
+                                   "solver", "ndoubl_static",
+                                   "ns_schedule"))
 def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                   albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                   rho_brdf=None,
                   *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
-                  ndoubl_static=None):
+                  ndoubl_static=None, ns_schedule=None):
     """One Fourier moment: layer scan + surface. Returns composite layer."""
     # The doubling recursion amplifies rounding over ~10 iterations/layer:
     # force true-f32 MXU passes (TPU default would drop to bf16 inputs).
@@ -64,14 +65,14 @@ def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             spectral_albedo, mu0, mu0_node, min_qp_mu, rho_brdf,
             i_mu0_n=i_mu0_n,
             n_stokes=n_stokes, is_m0=is_m0, n_spec=n_spec, solver=solver,
-            ndoubl_static=ndoubl_static)
+            ndoubl_static=ndoubl_static, ns_schedule=ns_schedule)
 
 
 def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                        albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                        rho_brdf=None,
                        *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
-                       ndoubl_static=None):
+                       ndoubl_static=None, ns_schedule=None):
     rsolve = make_rsolve(solver)
     dtype = tau.dtype
     n = qp.shape[0]
@@ -90,7 +91,8 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
         added = make_added_layer(
             tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
             i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye,
-            rsolve=rsolve, ndoubl_static=ndoubl_static)
+            rsolve=rsolve, ndoubl_static=ndoubl_static,
+            ns_schedule=ns_schedule)
         return interaction(carry, added, eye, rsolve=rsolve), None
 
     init = vacuum_layer(n_spec, n, dtype)
@@ -172,6 +174,7 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     # while_loop and it becomes reverse-mode differentiable); with a wide
     # spread the per-layer traced count does less total work.
     ndoubl_static = None
+    ns_schedule = None
     if isinstance(band.tau, np.ndarray) and isinstance(band.omega,
                                                        np.ndarray):
         tau_scat = np.max(band.tau * band.omega, axis=1)
@@ -181,6 +184,10 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
             nd = np.ceil(np.log2(np.maximum(tau_scat[pos] / dmax, 1.0)))
             if nd.max() - nd.min() <= 2:
                 ndoubl_static = int(nd.max())
+                if solver == "schulz":
+                    from vsmartmom.core.rt import ns_doubling_schedule
+                    ns_schedule = ns_doubling_schedule(
+                        float(tau_scat.max()), min_qp_mu, ndoubl_static)
 
     to_dev = lambda x: jnp.asarray(x, dtype)
     comps = []
@@ -211,7 +218,7 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 rho_brdf,
                 i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
                 n_spec=n_spec, solver=solver,
-                ndoubl_static=ndoubl_static)
+                ndoubl_static=ndoubl_static, ns_schedule=ns_schedule)
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 
