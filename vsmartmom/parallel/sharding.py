@@ -25,6 +25,11 @@ def spectral_mesh(n_devices: Optional[int] = None) -> Mesh:
     """1-D device mesh over the spectral axis."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device spectral mesh but only "
+                f"{len(devs)} JAX devices are visible (set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count=N for CPU tests)")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (SPECTRAL_AXIS,))
 
