@@ -107,3 +107,29 @@ def test_reference_yaml_fixtures_parse():
     assert b[0] == pytest.approx(1e7 / 775, rel=1e-10)
     assert b[1] - b[0] == pytest.approx(0.05, rel=1e-9)
     assert b[-1] <= 1e7 / 755
+
+
+def test_rt_run_raman_dispatch():
+    """rt_run(model, rs_type="RRS") mirrors the reference's
+    rt_run(RS_type, model, iBand): returns elastic + ie radiances, with the
+    filling-in positive over a Rayleigh atmosphere."""
+    params = parameters_from_yaml(f"{DATA}/rayleigh_benchmark.yaml")
+    # RRS needs a grid spanning the rotational shift range
+    from vsmartmom.config.params import parse_spec_band
+    params.spec_bands = [np.arange(12740.0, 13268.0, 8.0)]
+    params.max_m = 2
+    params.l_trunc = 10
+    params.sza = 45.0
+    params.vza = np.array([10.0])
+    params.vaz = np.array([0.0])
+    params.surfaces = [{"type": "LambertianSurfaceScalar", "albedo": 0.0}]
+    model = model_from_parameters(params)
+
+    R, T, ieR, ieT = rt_run(model, rs_type="RRS")
+    R0, T0 = rt_run(model)
+    n = R.shape[-1]
+    c = n // 2
+    assert ieR[0, 0, c] > 0
+    # Cabannes-only elastic < full-Rayleigh elastic; sum restores it
+    assert R[0, 0, c] < R0[0, 0, c]
+    assert R[0, 0, c] + ieR[0, 0, c] == pytest.approx(R0[0, 0, c], rel=5e-3)

@@ -52,27 +52,65 @@ def build_band_inputs(model: RTModel, i_band: int,
 
 
 def rt_run(model: RTModel, i_band: Union[int, Sequence[int]] = 0,
-           dtype=None):
+           dtype=None, rs_type=None):
     """Run the forward RT simulation for the given band(s).
 
-    Returns (R_SFI, T_SFI) with shape (n_vza, n_stokes, nSpec); multiple
-    bands are concatenated along the spectral axis (ref: bandSpecLim
-    bookkeeping in rt_run.jl:66-74).
+    ``rs_type`` selects inelastic (Raman) coupling, mirroring the
+    reference's rt_run(RS_type, model, iBand) dispatch (ref:
+    rt_run.jl:19-41):
+      None or "noRS"         — elastic only; returns (R_SFI, T_SFI)
+      "RRS"                  — rotational Raman built for each band's grid
+      "VS_0to1" / "VS_1to0"  — vibrational Raman groups on each band's grid
+      an inelastic spec / list of specs (RRS / AbsoluteRaman) — used as-is
+    With Raman, returns (R_SFI, T_SFI, ieR_SFI, ieT_SFI): the elastic
+    (Cabannes) radiances plus first-order Raman corrections.
+
+    Shapes (n_vza, n_stokes, nSpec); multiple bands are concatenated along
+    the spectral axis (ref: bandSpecLim bookkeeping in rt_run.jl:66-74).
     """
     import jax.numpy as jnp
     if dtype is None:
         dtype = jnp.float32 if model.params.float_type == "Float32" else jnp.float64
     bands = [i_band] if isinstance(i_band, int) else list(i_band)
-    Rs, Ts = [], []
+    elastic_only = rs_type is None or rs_type == "noRS"
+    outs = []
     for ib in bands:
-        band = build_band_inputs(model, ib)
         # reuse the last surface when fewer are given than bands
         # (the reference's VS configs do this)
         surfaces = model.params.surfaces
         surface = surfaces[min(ib, len(surfaces) - 1)]
-        R, T = rt_run_band(model.pol, model.quad_points, band,
-                           model.obs_geom.vza, model.obs_geom.vaz,
-                           model.params.max_m, surface, dtype=dtype)
-        Rs.append(R)
-        Ts.append(T)
-    return np.concatenate(Rs, axis=-1), np.concatenate(Ts, axis=-1)
+        if elastic_only:
+            band = build_band_inputs(model, ib)
+            outs.append(rt_run_band(
+                model.pol, model.quad_points, band, model.obs_geom.vza,
+                model.obs_geom.vaz, model.params.max_m, surface,
+                dtype=dtype))
+            continue
+
+        from vsmartmom.core.rt_raman import rt_run_band_rrs
+        if isinstance(rs_type, str):
+            from vsmartmom.inelastic import make_rrs, make_vs
+            grid = np.asarray(model.params.spec_bands[ib], np.float64)
+            T_mean = float(np.mean(model.profile.T))
+            if rs_type == "RRS":
+                specs = [make_rrs(grid, T=T_mean)]
+            elif rs_type in ("VS_0to1", "VS_1to0"):
+                specs = make_vs(grid, T=T_mean, direction=rs_type[3:])
+            else:
+                raise ValueError(f"unknown rs_type {rs_type!r}")
+        else:
+            specs = rs_type if isinstance(rs_type, (list, tuple)) \
+                else [rs_type]
+
+        cab = min((getattr(s, "omega_cabannes", 1.0) for s in specs),
+                  default=1.0)
+        band = build_band_inputs(model, ib, omega_cabannes=cab)
+        # Raman source strength: full Rayleigh fraction of the layer
+        f_rayl = (model.tau_rayl[ib].T
+                  / np.maximum(band.tau, 1e-300)).astype(np.float64)
+        outs.append(rt_run_band_rrs(
+            model.pol, model.quad_points, band, specs, f_rayl,
+            model.obs_geom.vza, model.obs_geom.vaz, model.params.max_m,
+            surface, dtype=dtype))
+    return tuple(np.concatenate([o[i] for o in outs], axis=-1)
+                 for i in range(len(outs[0])))
