@@ -51,7 +51,8 @@ def main():
             args["min_qp_mu"],
             i_mu0_n=static["i_mu0_n"], n_stokes=static["n_stokes"],
             is_m0=is_m0, n_spec=static["n_spec"], solver="schulz",
-            ndoubl_static=nd, ns_schedule=sched)
+            ndoubl_static=nd, ns_schedule=sched,
+            doubling_engine="pallas")
         return comp.j_m
 
     # NOTE: on the axon-tunneled TPU, block_until_ready returns before device
@@ -77,8 +78,8 @@ def main():
     print(json.dumps({
         "metric": "rt_run_spectral_points_per_s",
         "value": round(pts_per_s, 1),
-        "unit": "spectral-points/s/chip (full 3-moment polarized rt_run, "
-                "nSpec=20000, IQUV, N=64, 10 layers)",
+        "unit": f"spectral-points/s/chip (full 3-moment polarized rt_run, "
+                f"nSpec=20000, IQUV, N={args['qp'].shape[0]}, 10 layers)",
         "vs_baseline": round(vs, 3)}))
 
 

@@ -1,0 +1,81 @@
+"""Fused Pallas doubling kernel gates (interpret mode on CPU).
+
+The kernel holds the whole doubling recursion in VMEM (see
+vsmartmom/pallas/doubling_kernel.py); these gates pin it against the XLA
+batched-matmul path it replaces.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsmartmom.core.rt import (doubling, make_rsolve, ns_doubling_schedule)
+from vsmartmom.pallas.doubling_kernel import fused_doubling
+
+
+def _fixture(S=40, n=16, nd=6, seed=0):
+    """Passive elemental-like slab (sub-stochastic r, t ~ attenuated I)."""
+    rng = np.random.default_rng(seed)
+    tau_scat, mqm = 0.5, 0.2
+    sched = ns_doubling_schedule(tau_scat, mqm, nd)
+    dtau = tau_scat / 2 ** nd
+    r0 = jnp.asarray(rng.uniform(0, 1, (S, n, n)) * dtau / (n * mqm),
+                     jnp.float32)
+    t0 = jnp.asarray(
+        np.broadcast_to(np.eye(n) * np.exp(-dtau / mqm), (S, n, n)).copy()
+        + rng.uniform(0, 1, (S, n, n)) * dtau / (2 * n * mqm), jnp.float32)
+    jp = jnp.asarray(rng.uniform(0, dtau, (S, n)), jnp.float32)
+    jm = jnp.asarray(rng.uniform(0, dtau, (S, n)), jnp.float32)
+    ek = jnp.full((S,), np.exp(-dtau / 0.7), jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (S, n, n))
+    return sched, r0, t0, jp, jm, ek, eye, nd
+
+
+def test_fused_doubling_matches_xla():
+    sched, r0, t0, jp, jm, ek, eye, nd = _fixture()
+    ref = doubling(r0, t0, jp, jm, ek, nd, eye,
+                   rsolve=make_rsolve("schulz", 4), ns_schedule=sched)
+    out = fused_doubling(r0, t0, jp, jm, ek, ns_schedule=sched,
+                         block_s=16, interpret=True)
+    for name, a, b in zip(("r", "t", "jp", "jm"), ref, out):
+        d = np.abs(np.asarray(a) - np.asarray(b)).max()
+        s = np.abs(np.asarray(a)).max()
+        assert d / s < 1e-6, (name, d / s)
+
+
+def test_fused_doubling_pads_ragged_nspec():
+    """nSpec not a multiple of block_s: zero-padded points are inert and
+    sliced away."""
+    sched, r0, t0, jp, jm, ek, eye, nd = _fixture(S=40)
+    out_full = fused_doubling(r0, t0, jp, jm, ek, ns_schedule=sched,
+                              block_s=16, interpret=True)     # pads 40 -> 48
+    out_exact = fused_doubling(r0, t0, jp, jm, ek, ns_schedule=sched,
+                               block_s=8, interpret=True)     # no padding
+    for a, b in zip(out_full, out_exact):
+        assert a.shape[0] == 40
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-12)
+
+
+def test_rt_run_band_pallas_engine_matches_xla():
+    """Full rt_run_band with doubling_engine='pallas_interpret' == 'xla'."""
+    from vsmartmom.core.rt_run import BandRTInputs, rt_run_band
+    from vsmartmom.scattering.phase import Polarization, get_greek_rayleigh
+    from vsmartmom.util.quadrature import rt_set_streams
+
+    pol = Polarization.from_name("Stokes_IQU")
+    quad = rt_set_streams("GaussQuadFullSphere", 8, 45.0, [10.0], pol.n)
+    rng = np.random.default_rng(1)
+    n_spec, n_z = 24, 3
+    tau_r = np.full((n_z, n_spec), 0.08)
+    tau = tau_r + rng.uniform(0, 0.3, (n_z, n_spec))
+    band = BandRTInputs(tau=tau, omega=tau_r / tau,
+                        zw=np.ones((n_z, 1, n_spec)),
+                        greeks=[get_greek_rayleigh(0.03)])
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.2}
+    kw = dict(dtype=jnp.float32, solver="schulz")
+    R_x, T_x = rt_run_band(pol, quad, band, [10.0], [30.0], 2, surf,
+                           doubling_engine="xla", **kw)
+    R_p, T_p = rt_run_band(pol, quad, band, [10.0], [30.0], 2, surf,
+                           doubling_engine="pallas_interpret", **kw)
+    np.testing.assert_allclose(R_p, R_x, rtol=5e-6, atol=1e-9)
+    np.testing.assert_allclose(T_p, T_x, rtol=5e-6, atol=1e-9)

@@ -266,7 +266,8 @@ def doubling(r_mp_f, t_pp, j_p, j_m_f, expk, ndoubl, eye, rsolve=rsolve_lu,
 def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
                      i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
                      min_qp_mu, eye, rsolve=rsolve_lu,
-                     ndoubl_static=None, ns_schedule=None) -> LayerRT:
+                     ndoubl_static=None, ns_schedule=None,
+                     doubling_engine="xla") -> LayerRT:
     """Elemental + doubling for one atmospheric layer -> full added layer.
 
     tau/omega: (nSpec,) per-wavelength optical depth & single-scatter albedo.
@@ -295,8 +296,17 @@ def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
     # Row-flip (D-symmetry trick), double, un-flip.
     r_f = d_vec[None, :, None] * r_mp
     jm_f = d_vec[None, :] * j_m
-    r_f, t_pp, j_p, jm_f = doubling(r_f, t_pp, j_p, jm_f, expk, ndoubl, eye,
-                                    rsolve=rsolve, ns_schedule=ns_schedule)
+    if (doubling_engine in ("pallas", "pallas_interpret")
+            and isinstance(ndoubl, int) and ns_schedule is not None):
+        # fused VMEM-resident kernel (forward runs only — not differentiable)
+        from vsmartmom.pallas.doubling_kernel import fused_doubling
+        r_f, t_pp, j_p, jm_f = fused_doubling(
+            r_f, t_pp, j_p, jm_f, expk, ns_schedule=tuple(ns_schedule),
+            interpret=(doubling_engine == "pallas_interpret"))
+    else:
+        r_f, t_pp, j_p, jm_f = doubling(r_f, t_pp, j_p, jm_f, expk, ndoubl,
+                                        eye, rsolve=rsolve,
+                                        ns_schedule=ns_schedule)
     r_mp = d_vec[None, :, None] * r_f
     j_m = d_vec[None, :] * jm_f
 

@@ -50,12 +50,13 @@ class BandRTInputs:
 
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
                                    "solver", "ndoubl_static",
-                                   "ns_schedule"))
+                                   "ns_schedule", "doubling_engine"))
 def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                   albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                   rho_brdf=None,
                   *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
-                  ndoubl_static=None, ns_schedule=None):
+                  ndoubl_static=None, ns_schedule=None,
+                  doubling_engine="xla"):
     """One Fourier moment: layer scan + surface. Returns composite layer."""
     # The doubling recursion amplifies rounding over ~10 iterations/layer:
     # force true-f32 MXU passes (TPU default would drop to bf16 inputs).
@@ -65,14 +66,16 @@ def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             spectral_albedo, mu0, mu0_node, min_qp_mu, rho_brdf,
             i_mu0_n=i_mu0_n,
             n_stokes=n_stokes, is_m0=is_m0, n_spec=n_spec, solver=solver,
-            ndoubl_static=ndoubl_static, ns_schedule=ns_schedule)
+            ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
+            doubling_engine=doubling_engine)
 
 
 def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                        albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                        rho_brdf=None,
                        *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
-                       ndoubl_static=None, ns_schedule=None):
+                       ndoubl_static=None, ns_schedule=None,
+                       doubling_engine="xla"):
     rsolve = make_rsolve(solver)
     dtype = tau.dtype
     n = qp.shape[0]
@@ -92,7 +95,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
             i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye,
             rsolve=rsolve, ndoubl_static=ndoubl_static,
-            ns_schedule=ns_schedule)
+            ns_schedule=ns_schedule, doubling_engine=doubling_engine)
         return interaction(carry, added, eye, rsolve=rsolve), None
 
     init = vacuum_layer(n_spec, n, dtype)
@@ -120,7 +123,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
 def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 vza, vaz, max_m: int, surface, dtype=jnp.float64,
                 return_composite: bool = False, solver: Optional[str] = None,
-                return_hdr: bool = False):
+                return_hdr: bool = False, doubling_engine: str = "auto"):
     """Run the full Fourier-moment loop for one band; azimuthally synthesize.
 
     surface: dict like {"type": "LambertianSurfaceScalar", "albedo": 0.1}.
@@ -128,6 +131,9 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     ``return_hdr`` also (hdr, bhr_uw, bhr_dw): the hemispheric-directional
     surface-leaving radiance per VZA plus the bi-hemispheric up/downwelling
     fluxes at the surface (ref: rt_run.jl:187-226 RAMI outputs).
+    ``doubling_engine``: "auto" picks the fused Pallas VMEM kernel on TPU
+    (f32, forward-only), the XLA batched-matmul path elsewhere; force with
+    "xla" / "pallas" / "pallas_interpret".
     """
     if solver is None:
         # LU is fast on CPU (LAPACK); on TPU partial pivoting serializes, so
@@ -188,6 +194,11 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                     from vsmartmom.core.rt import ns_doubling_schedule
                     ns_schedule = ns_doubling_schedule(
                         float(tau_scat.max()), min_qp_mu, ndoubl_static)
+    if doubling_engine == "auto":
+        doubling_engine = ("pallas" if (jax.default_backend() != "cpu"
+                                        and ns_schedule is not None
+                                        and dtype == jnp.float32)
+                           else "xla")
 
     to_dev = lambda x: jnp.asarray(x, dtype)
     comps = []
@@ -218,7 +229,8 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 rho_brdf,
                 i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
                 n_spec=n_spec, solver=solver,
-                ndoubl_static=ndoubl_static, ns_schedule=ns_schedule)
+                ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
+                doubling_engine=doubling_engine)
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 
