@@ -87,20 +87,32 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
     tau_sum_all = jnp.concatenate(
         [jnp.zeros((1, tau.shape[1]), dtype), jnp.cumsum(tau, axis=0)], axis=0)
 
-    def scan_body(carry, inputs):
-        tau_z, omega_z, zw_z, tau_sum_z = inputs
-        z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
-        z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
-        added = make_added_layer(
-            tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
-            i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu, eye,
-            rsolve=rsolve, ndoubl_static=ndoubl_static,
-            ns_schedule=ns_schedule, doubling_engine=doubling_engine)
-        return interaction(carry, added, eye, rsolve=rsolve), None
+    if (doubling_engine in ("pallas_scan", "pallas_scan_interpret")
+            and ndoubl_static is not None and ns_schedule is not None):
+        # whole layer loop fused in one VMEM-resident Pallas kernel
+        from vsmartmom.pallas.layer_scan_kernel import fused_layer_scan
+        comp = fused_layer_scan(
+            tau, omega, zw, tau_sum_all[:-1], z_pp_c, z_mp_c, qp, wct2,
+            i0_vec, d_vec, mu0, mu0_node, ns_schedule=tuple(ns_schedule),
+            i_mu0_n=i_mu0_n, n_stokes=n_stokes,
+            wct02=(0.5 if is_m0 else 0.25),
+            interpret=(doubling_engine == "pallas_scan_interpret"))
+        comp = jax.tree.map(lambda x: x.astype(dtype), comp)
+    else:
+        def scan_body(carry, inputs):
+            tau_z, omega_z, zw_z, tau_sum_z = inputs
+            z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
+            z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
+            added = make_added_layer(
+                tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
+                i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu,
+                eye, rsolve=rsolve, ndoubl_static=ndoubl_static,
+                ns_schedule=ns_schedule, doubling_engine=doubling_engine)
+            return interaction(carry, added, eye, rsolve=rsolve), None
 
-    init = vacuum_layer(n_spec, n, dtype)
-    comp, _ = jax.lax.scan(scan_body, init,
-                           (tau, omega, zw, tau_sum_all[:-1]))
+        init = vacuum_layer(n_spec, n, dtype)
+        comp, _ = jax.lax.scan(scan_body, init,
+                               (tau, omega, zw, tau_sum_all[:-1]))
 
     if rho_brdf is not None:
         surf = brdf_surface_layer(rho_brdf, n_spec, qp, wt, i0_vec,
