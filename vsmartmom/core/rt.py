@@ -267,7 +267,8 @@ def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
                      i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
                      min_qp_mu, eye, rsolve=rsolve_lu,
                      ndoubl_static=None, ns_schedule=None,
-                     doubling_engine="xla") -> LayerRT:
+                     doubling_engine="xla",
+                     matmul_precision="highest") -> LayerRT:
     """Elemental + doubling for one atmospheric layer -> full added layer.
 
     tau/omega: (nSpec,) per-wavelength optical depth & single-scatter albedo.
@@ -302,7 +303,8 @@ def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
         from vsmartmom.pallas.doubling_kernel import fused_doubling
         r_f, t_pp, j_p, jm_f = fused_doubling(
             r_f, t_pp, j_p, jm_f, expk, ns_schedule=tuple(ns_schedule),
-            interpret=(doubling_engine == "pallas_interpret"))
+            interpret=(doubling_engine == "pallas_interpret"),
+            precision_name=matmul_precision)
     else:
         r_f, t_pp, j_p, jm_f = doubling(r_f, t_pp, j_p, jm_f, expk, ndoubl,
                                         eye, rsolve=rsolve,

@@ -50,24 +50,28 @@ class BandRTInputs:
 
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
                                    "solver", "ndoubl_static",
-                                   "ns_schedule", "doubling_engine"))
+                                   "ns_schedule", "doubling_engine",
+                                   "matmul_precision"))
 def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                   albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                   rho_brdf=None,
                   *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
                   ndoubl_static=None, ns_schedule=None,
-                  doubling_engine="xla"):
+                  doubling_engine="xla", matmul_precision="highest"):
     """One Fourier moment: layer scan + surface. Returns composite layer."""
     # The doubling recursion amplifies rounding over ~10 iterations/layer:
-    # force true-f32 MXU passes (TPU default would drop to bf16 inputs).
-    with jax.default_matmul_precision("highest"):
+    # never let the TPU default drop matmul inputs to 1-pass bf16.
+    # 'highest' = true-f32 MXU passes; 'high' = 3-pass bf16 (f32-equivalent
+    # mantissa via error-compensated passes, ~2x the throughput).
+    with jax.default_matmul_precision(matmul_precision):
         return _fourier_step_body(
             tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec, albedo,
             spectral_albedo, mu0, mu0_node, min_qp_mu, rho_brdf,
             i_mu0_n=i_mu0_n,
             n_stokes=n_stokes, is_m0=is_m0, n_spec=n_spec, solver=solver,
             ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
-            doubling_engine=doubling_engine)
+            doubling_engine=doubling_engine,
+            matmul_precision=matmul_precision)
 
 
 def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
@@ -75,7 +79,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                        rho_brdf=None,
                        *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
                        ndoubl_static=None, ns_schedule=None,
-                       doubling_engine="xla"):
+                       doubling_engine="xla", matmul_precision="highest"):
     rsolve = make_rsolve(solver)
     dtype = tau.dtype
     n = qp.shape[0]
@@ -107,7 +111,8 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                 tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
                 i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu,
                 eye, rsolve=rsolve, ndoubl_static=ndoubl_static,
-                ns_schedule=ns_schedule, doubling_engine=doubling_engine)
+                ns_schedule=ns_schedule, doubling_engine=doubling_engine,
+                matmul_precision=matmul_precision)
             return interaction(carry, added, eye, rsolve=rsolve), None
 
         init = vacuum_layer(n_spec, n, dtype)
