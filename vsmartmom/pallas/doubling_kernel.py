@@ -32,40 +32,63 @@ _BATCH_MM = (((2,), (1,)), ((0,), (0,)))   # (S,N,N) @ (S,N,N) -> (S,N,N)
 _BATCH_MV = (((2,), (1,)), ((0,), (0,)))   # (S,N,N) @ (S,N)   -> (S,N)
 
 
-def _doubling_kernel(r_ref, t_ref, jp_ref, jm_ref, ek_ref,
-                     r_out, t_out, jp_out, jm_out,
-                     *, ns_schedule, precision):
-    mm = lambda a, b: lax.dot_general(a, b, _BATCH_MM,
-                                      preferred_element_type=jnp.float32,
-                                      precision=precision)
-    mv = lambda a, v: lax.dot_general(a, v, _BATCH_MV,
-                                      preferred_element_type=jnp.float32,
-                                      precision=precision)
-    r = r_ref[:]
-    t = t_ref[:]
-    jp = jp_ref[:]
-    jm = jm_ref[:]
-    ek = ek_ref[:]                      # (S, 1)
+def batch_mm(precision):
+    """(S,N,N) @ (S,N,K) batched matmul for use inside Pallas kernels."""
+    return lambda a, b: lax.dot_general(a, b, _BATCH_MM,
+                                        preferred_element_type=jnp.float32,
+                                        precision=precision)
+
+
+def doubling_body(mm, r, t, jp, jm, ek, ns_schedule):
+    """Shared VMEM doubling recursion (used by the doubling-only and the
+    fused layer-step kernels). ek: (S, 1)."""
     n = r.shape[-1]
     eye = jnp.eye(n, dtype=r.dtype)[None]
 
     for it in ns_schedule:
         # Newton-Schulz right-inverse of A = I - r r: M <- M (2I - A M),
-        # M0 = I + r r; residual (r r)^(2^(it+1)) — operation order matches
-        # core.rt.make_rsolve exactly (bitwise-comparable in f32)
+        # M0 = I + r r; residual (r r)^(2^(it+1)).
+        #
+        # MXU lane packing: every matmul here is (S, n, n) @ (S, n, k) with
+        # n ~ 44 — padded to 128 output lanes, so a pass with k = n wastes
+        # 2/3 of the array and a matvec (k = 1) wastes 127/128 at the SAME
+        # cost as k = n. We therefore concatenate every right-hand operand
+        # that shares a left matrix into one pass:
+        #   r @ [t | jp | j1m]                (k = n+2, also yields r t)
+        #   m @ [rt | t | v1 | v2]            (k = 2n+2 <= 128 for n <= 63)
+        #   t @ (that)                        (k = 2n+2)
+        # tt = t (I - r r)^{-1} is never materialized: every use is
+        # tt @ X = t @ (m @ X). Passes per step drop from 9+2it to 5+2it,
+        # and each computes the same dot products (bitwise-equal columns).
         a = eye - mm(r, r)
-        m = 2.0 * eye - a
+        m = 2.0 * eye - a               # = I + r r, same fp as the XLA path
         for _ in range(it):
             m = mm(m, 2.0 * eye - mm(a, m))
-        tt = mm(t, m)
         j1p = jp * ek
         j1m = jm * ek
-        jm = jm + mv(tt, j1m + mv(r, jp))
-        jp = j1p + mv(tt, jp + mv(r, j1m))
-        r = r + mm(tt, mm(r, t))
-        t = mm(tt, t)
+        pack1 = jnp.concatenate(
+            [t, jp[..., None], j1m[..., None]], axis=-1)
+        rp = mm(r, pack1)               # [r t | r jp | r j1m]
+        v1 = j1m + rp[..., n]           # j1m + r jp
+        v2 = jp + rp[..., n + 1]        # jp  + r j1m
+        pack2 = jnp.concatenate(
+            [rp[..., :n], t, v1[..., None], v2[..., None]], axis=-1)
+        tp = mm(t, mm(m, pack2))        # tt @ [r t | t | v1 | v2]
+        jm = jm + tp[..., 2 * n]
+        jp = j1p + tp[..., 2 * n + 1]
+        r = r + tp[..., :n]
+        t = tp[..., n:2 * n]
         ek = ek * ek
 
+    return r, t, jp, jm
+
+
+def _doubling_kernel(r_ref, t_ref, jp_ref, jm_ref, ek_ref,
+                     r_out, t_out, jp_out, jm_out,
+                     *, ns_schedule, precision):
+    mm = batch_mm(precision)
+    r, t, jp, jm = doubling_body(mm, r_ref[:], t_ref[:], jp_ref[:],
+                                 jm_ref[:], ek_ref[:], ns_schedule)
     r_out[:] = r
     t_out[:] = t
     jp_out[:] = jp
