@@ -52,7 +52,7 @@ def main():
             i_mu0_n=static["i_mu0_n"], n_stokes=static["n_stokes"],
             is_m0=is_m0, n_spec=static["n_spec"], solver="schulz",
             ndoubl_static=nd, ns_schedule=sched,
-            doubling_engine="pallas")
+            doubling_engine="pallas_step")
         return comp.j_m
 
     # NOTE: on the axon-tunneled TPU, block_until_ready returns before device

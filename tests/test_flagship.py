@@ -1,0 +1,99 @@
+"""Flagship end-to-end gate: O2 A-band hyperspectral run with real
+line-by-line absorption through the full public API
+(default_parameters -> model_from_parameters -> rt_run).
+
+ref: src/CoreRT/rt_run.jl:41-230 driven by CoreRT/DefaultParameters.yaml +
+model_from_parameters.jl:51-89 (the pipeline the reference ships as its
+default). The O2 line list is physically derived from published
+spectroscopic constants (tools/make_o2_aband_linelist.py) since this
+environment is air-gapped; positions/E''/envelope are physical.
+"""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+import vsmartmom
+from vsmartmom import default_parameters, model_from_parameters, rt_run
+
+HAS_O2 = os.path.exists(os.path.join(os.path.dirname(vsmartmom.__file__),
+                                     "..", "data", "hitran", "O2.par")) or \
+    os.path.exists(os.path.join(os.getcwd(), "data", "hitran", "O2.par"))
+
+
+@pytest.fixture(scope="module")
+def flagship_outputs():
+    params = default_parameters()
+    # keep CI runtime sane: R-branch sub-window at full 0.015 cm-1 sampling;
+    # everything else is the shipped default (34-layer profile)
+    params = copy.deepcopy(params)
+    params.spec_bands = [np.arange(13150.0, 13175.0, 0.025)]
+    model = model_from_parameters(params)
+    R, T = rt_run(model)
+    return params, model, R
+
+
+@pytest.mark.skipif(not HAS_O2, reason="O2.par not generated")
+def test_flagship_o2_aband_pipeline(flagship_outputs):
+    """The full default pipeline executes with non-null absorption and
+    produces a physically-shaped A-band spectrum."""
+    params, model, R = flagship_outputs
+
+    # absorption was really computed (not nulled)
+    assert params.absorption_params is not None
+    ta = model.tau_abs[0]
+    assert ta.shape == (1000, model.profile.n_layers)
+    assert ta.max() > 1.0, "strong O2 lines must be present"
+
+    nadir = R[4, 0, :]                     # vza = 0 entry of the default
+    assert nadir.shape == (1000,)
+    assert np.all(nadir > 0) and np.all(nadir < 1)
+
+    # continuum level: between lines the band reduces to Rayleigh+aerosol;
+    # check against a run with absorption nulled (same optics otherwise)
+    model_noabs = copy.deepcopy(model)
+    model_noabs.tau_abs = [np.zeros_like(model.tau_abs[0])]
+    R0, _ = rt_run(model_noabs)
+    cont = R0[4, 0, :]
+    col_tau = ta.sum(axis=1)
+    # microwindows: residual column tau ~ 0.01-0.02 from overlapping far
+    # wings; the continuum there must sit within the two-way-transmission
+    # bound of the absorption-free run
+    clear = col_tau < 0.02
+    assert clear.sum() > 10, "need line-free microwindows in the test band"
+    ratio = nadir[clear] / cont[clear]
+    mu0 = np.cos(np.deg2rad(params.sza))
+    lower = np.exp(-col_tau[clear] * (1.0 / mu0 + 1.0))
+    assert np.all(ratio <= 1.0 + 1e-6)
+    assert np.all(ratio >= lower * 0.995), (ratio.min(), lower.min())
+
+    # saturated line cores: deep absorption (>90% of continuum removed)
+    core = col_tau > 20.0
+    assert core.sum() > 3, "test band must contain saturated lines"
+    assert np.all(nadir[core] < 0.1 * cont[core])
+
+    # every spectral point with absorption sits below the continuum
+    absorbed = col_tau > 0.05
+    assert np.all(nadir[absorbed] <= cont[absorbed] * (1 + 1e-6))
+
+
+@pytest.mark.skipif(not HAS_O2, reason="O2.par not generated")
+def test_o2_aband_linelist_physics():
+    """Generated O2 line list: band structure sanity (doublets split by the
+    X-state spin splitting ~2 cm^-1, R-head near 13165 cm^-1, strengths
+    normalized to the published band intensity)."""
+    from vsmartmom.spectroscopy.hitran import read_hitran
+    from vsmartmom.spectroscopy.profiles import hitran_artifact
+
+    ht = read_hitran(hitran_artifact("O2"), mol=7, iso=1)
+    assert len(ht) >= 90
+    np.testing.assert_allclose(ht.sw.sum(), 2.24e-22, rtol=1e-3)
+    # R-branch band head
+    assert 13160.0 < ht.nu.max() < 13170.0
+    # E'' must be consistent with a B ~ 1.44 rotor (odd N only)
+    assert ht.elower.min() == 0.0
+    assert ht.elower.max() > 2000.0   # N ~ 49 levels populated at 296 K
+    # all four branches present via the local quanta labels
+    labels = {q.strip()[:2] for q in ht.local_lower_quanta}
+    assert {"PP", "PQ", "RR", "RQ"} <= labels

@@ -56,6 +56,32 @@ def test_fused_doubling_pads_ragged_nspec():
                                    rtol=2e-6, atol=1e-12)
 
 
+def test_rt_run_band_pallas_step_engine_matches_xla():
+    """Full rt_run_band with the fused doubling+interaction layer-step
+    kernel (doubling_engine='pallas_step_interpret') == 'xla'."""
+    from vsmartmom.core.rt_run import BandRTInputs, rt_run_band
+    from vsmartmom.scattering.phase import Polarization, get_greek_rayleigh
+    from vsmartmom.util.quadrature import rt_set_streams
+
+    pol = Polarization.from_name("Stokes_IQU")
+    quad = rt_set_streams("GaussQuadFullSphere", 8, 45.0, [10.0], pol.n)
+    rng = np.random.default_rng(1)
+    n_spec, n_z = 24, 3
+    tau_r = np.full((n_z, n_spec), 0.08)
+    tau = tau_r + rng.uniform(0, 0.3, (n_z, n_spec))
+    band = BandRTInputs(tau=tau, omega=tau_r / tau,
+                        zw=np.ones((n_z, 1, n_spec)),
+                        greeks=[get_greek_rayleigh(0.03)])
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.2}
+    kw = dict(dtype=jnp.float32, solver="schulz")
+    R_x, T_x = rt_run_band(pol, quad, band, [10.0], [30.0], 2, surf,
+                           doubling_engine="xla", **kw)
+    R_p, T_p = rt_run_band(pol, quad, band, [10.0], [30.0], 2, surf,
+                           doubling_engine="pallas_step_interpret", **kw)
+    np.testing.assert_allclose(R_p, R_x, rtol=2e-5, atol=1e-9)
+    np.testing.assert_allclose(T_p, T_x, rtol=2e-5, atol=1e-9)
+
+
 def test_rt_run_band_pallas_engine_matches_xla():
     """Full rt_run_band with doubling_engine='pallas_interpret' == 'xla'."""
     from vsmartmom.core.rt_run import BandRTInputs, rt_run_band

@@ -295,18 +295,13 @@ def doubling(r_mp_f, t_pp, j_p, j_m_f, expk, ndoubl, eye, rsolve=rsolve_lu,
     return state[:4]
 
 
-def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
-                     i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
-                     min_qp_mu, eye, rsolve=rsolve_lu,
-                     ndoubl_static=None, ns_schedule=None,
-                     doubling_engine="xla",
-                     matmul_precision="highest") -> LayerRT:
-    """Elemental + doubling for one atmospheric layer -> full added layer.
-
-    tau/omega: (nSpec,) per-wavelength optical depth & single-scatter albedo.
-    ``ndoubl_static``: optional Python int (host-precomputed max doubling
-    count) selecting the statically-unrolled doubling loop.
-    ref: src/CoreRT/CoreKernel/rt_kernel.jl:238-275 (init_layer + dispatch)
+def elemental_flipped(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
+                      i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
+                      min_qp_mu, ndoubl_static=None):
+    """Elemental single-scattering layer in flipped (D-symmetry) space,
+    plus the doubling inputs (expk, ndoubl). Shared by make_added_layer and
+    the fused Pallas layer-step path (pallas/layer_step_kernel.py).
+    ref: src/CoreRT/CoreKernel/rt_kernel.jl:238-275 (init_layer)
     """
     if ndoubl_static is not None:
         ndoubl = int(ndoubl_static)
@@ -326,9 +321,28 @@ def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
         dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
         i0_vec, i_mu0_n, n_stokes, mu0_node)
 
-    # Row-flip (D-symmetry trick), double, un-flip.
     r_f = d_vec[None, :, None] * r_mp
     jm_f = d_vec[None, :] * j_m
+    return r_f, t_pp, j_p, jm_f, expk, ndoubl
+
+
+def make_added_layer(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
+                     i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
+                     min_qp_mu, eye, rsolve=rsolve_lu,
+                     ndoubl_static=None, ns_schedule=None,
+                     doubling_engine="xla",
+                     matmul_precision="highest") -> LayerRT:
+    """Elemental + doubling for one atmospheric layer -> full added layer.
+
+    tau/omega: (nSpec,) per-wavelength optical depth & single-scatter albedo.
+    ``ndoubl_static``: optional Python int (host-precomputed max doubling
+    count) selecting the statically-unrolled doubling loop.
+    ref: src/CoreRT/CoreKernel/rt_kernel.jl:238-275 (init_layer + dispatch)
+    """
+    r_f, t_pp, j_p, jm_f, expk, ndoubl = elemental_flipped(
+        tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02, i0_vec, i_mu0_n,
+        n_stokes, mu0_node, mu0, d_vec, min_qp_mu,
+        ndoubl_static=ndoubl_static)
     if (doubling_engine in ("pallas", "pallas_interpret")
             and isinstance(ndoubl, int) and ns_schedule is not None):
         # fused VMEM-resident kernel (forward runs only — not differentiable)

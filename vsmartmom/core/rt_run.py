@@ -91,7 +91,32 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
     tau_sum_all = jnp.concatenate(
         [jnp.zeros((1, tau.shape[1]), dtype), jnp.cumsum(tau, axis=0)], axis=0)
 
-    if (doubling_engine in ("pallas_scan", "pallas_scan_interpret")
+    if (doubling_engine in ("pallas_step", "pallas_step_interpret")
+            and ndoubl_static is not None and ns_schedule is not None):
+        # doubling + interaction fused per layer in one VMEM-resident
+        # Pallas kernel; elemental stays XLA (elementwise, fuses fine)
+        from vsmartmom.core.rt import elemental_flipped
+        from vsmartmom.pallas.layer_step_kernel import fused_layer_step
+        interp = doubling_engine == "pallas_step_interpret"
+
+        def scan_body_fused(carry, inputs):
+            tau_z, omega_z, zw_z, tau_sum_z = inputs
+            z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
+            z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
+            r_f, t, jp, jm_f, ek, _ = elemental_flipped(
+                tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
+                i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu,
+                ndoubl_static=ndoubl_static)
+            comp = fused_layer_step(
+                carry, r_f, t, jp, jm_f, ek, d_vec,
+                ns_schedule=tuple(ns_schedule), ni=4, interpret=interp,
+                precision_name=matmul_precision)
+            return comp, None
+
+        init = vacuum_layer(n_spec, n, dtype)
+        comp, _ = jax.lax.scan(scan_body_fused, init,
+                               (tau, omega, zw, tau_sum_all[:-1]))
+    elif (doubling_engine in ("pallas_scan", "pallas_scan_interpret")
             and ndoubl_static is not None and ns_schedule is not None):
         # whole layer loop fused in one VMEM-resident Pallas kernel
         from vsmartmom.pallas.layer_scan_kernel import fused_layer_scan
@@ -140,7 +165,8 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
 def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 vza, vaz, max_m: int, surface, dtype=jnp.float64,
                 return_composite: bool = False, solver: Optional[str] = None,
-                return_hdr: bool = False, doubling_engine: str = "auto"):
+                return_hdr: bool = False, doubling_engine: str = "auto",
+                matmul_precision: str = "highest"):
     """Run the full Fourier-moment loop for one band; azimuthally synthesize.
 
     surface: dict like {"type": "LambertianSurfaceScalar", "albedo": 0.1}.
@@ -148,9 +174,12 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     ``return_hdr`` also (hdr, bhr_uw, bhr_dw): the hemispheric-directional
     surface-leaving radiance per VZA plus the bi-hemispheric up/downwelling
     fluxes at the surface (ref: rt_run.jl:187-226 RAMI outputs).
-    ``doubling_engine``: "auto" picks the fused Pallas VMEM kernel on TPU
-    (f32, forward-only), the XLA batched-matmul path elsewhere; force with
-    "xla" / "pallas" / "pallas_interpret".
+    ``doubling_engine``: "auto" picks the fused Pallas layer-step kernel on
+    TPU (f32, forward-only), the XLA batched-matmul path elsewhere; force
+    with "xla" / "pallas_step" / "pallas" / "*_interpret".
+    ``matmul_precision``: "highest" (true f32 MXU passes) or "high"
+    (3-pass bf16, ~1.5x faster, qualified against the 6SV1/Natraj gates on
+    TPU — tools/qualify_precision.py).
     """
     if solver is None:
         # LU is fast on CPU (LAPACK); on TPU partial pivoting serializes, so
@@ -212,9 +241,9 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                     ns_schedule = ns_doubling_schedule(
                         float(tau_scat.max()), min_qp_mu, ndoubl_static)
     if doubling_engine == "auto":
-        doubling_engine = ("pallas" if (jax.default_backend() != "cpu"
-                                        and ns_schedule is not None
-                                        and dtype == jnp.float32)
+        doubling_engine = ("pallas_step" if (jax.default_backend() != "cpu"
+                                             and ns_schedule is not None
+                                             and dtype == jnp.float32)
                            else "xla")
 
     to_dev = lambda x: jnp.asarray(x, dtype)
@@ -247,7 +276,8 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
                 n_spec=n_spec, solver=solver,
                 ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
-                doubling_engine=doubling_engine)
+                doubling_engine=doubling_engine,
+                matmul_precision=matmul_precision)
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 

@@ -33,7 +33,26 @@ _BATCH_MV = (((2,), (1,)), ((0,), (0,)))   # (S,N,N) @ (S,N)   -> (S,N)
 
 
 def batch_mm(precision):
-    """(S,N,N) @ (S,N,K) batched matmul for use inside Pallas kernels."""
+    """(S,N,N) @ (S,N,K) batched matmul for use inside Pallas kernels.
+
+    precision: lax.Precision.HIGHEST/DEFAULT, or the string "bf16x3" —
+    Mosaic does not lower Precision.HIGH, so the 3-pass error-compensated
+    bf16 decomposition (a_hi b_hi + a_hi b_lo + a_lo b_hi, f32
+    accumulation; the same scheme XLA's HIGH uses) is built by hand. ~2x
+    the MXU throughput of HIGHEST (6 passes) at near-f32 accuracy: the
+    dropped a_lo b_lo term is O(2^-32) relative.
+    """
+    if precision == "bf16x3":
+        def mm(a, b):
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = lambda x, y: lax.dot_general(
+                x, y, _BATCH_MM, preferred_element_type=jnp.float32,
+                precision=lax.Precision.DEFAULT)
+            return d(ah, bl) + d(al, bh) + d(ah, bh)
+        return mm
     return lambda a, b: lax.dot_general(a, b, _BATCH_MM,
                                         preferred_element_type=jnp.float32,
                                         precision=precision)
@@ -121,7 +140,7 @@ def fused_doubling(r, t, jp, jm, ek, *, ns_schedule: tuple,
         ek = jnp.pad(ek, [(0, pad)])
     n_pad = n_spec + pad
     precision = {"highest": lax.Precision.HIGHEST,
-                 "high": lax.Precision.HIGH,
+                 "high": "bf16x3",       # Mosaic can't lower HIGH; see batch_mm
                  "default": lax.Precision.DEFAULT}[precision_name]
     ek2 = ek.reshape(n_pad, 1)
 

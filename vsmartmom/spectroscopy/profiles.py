@@ -68,9 +68,19 @@ def compute_absorption_profile(tau_abs: np.ndarray, molecule: str,
     else:
         # each .par line list holds a single molecule (ref keeps mol=-1)
         par = hitran_artifact(molecule)
-        ht = read_hitran(par, iso=1,
-                         nu_min=float(np.min(grid)) - absorption_params.wing_cutoff,
-                         nu_max=float(np.max(grid)) + absorption_params.wing_cutoff)
+        from vsmartmom.spectroscopy.hitran import HitranEmptyError
+        try:
+            ht = read_hitran(par, iso=1,
+                             nu_min=float(np.min(grid)) - absorption_params.wing_cutoff,
+                             nu_max=float(np.max(grid)) + absorption_params.wing_cutoff)
+        except HitranEmptyError:
+            # physically empty window (e.g. CO2 in the O2 A band):
+            # contributes zero absorption
+            import warnings
+            warnings.warn(f"{molecule}: no lines in "
+                          f"[{float(np.min(grid)):.1f}, "
+                          f"{float(np.max(grid)):.1f}] cm-1; tau_abs += 0")
+            return tau_abs
         model = make_hitran_model(ht, absorption_params.broadening,
                                   wing_cutoff=absorption_params.wing_cutoff,
                                   cef=absorption_params.cef, vmr=0.0)
