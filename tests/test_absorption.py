@@ -118,7 +118,9 @@ def _independent_voigt_xsec(ht, grid, p, T, wing_cutoff=40.0, vmr=0.0):
                 * np.exp(C2 * ht.elower[j] * (1 / T_REF - 1 / T)) \
                 * (1 - np.exp(-C2 * ht.nu[j] / T)) \
                 / (1 - np.exp(-C2 * ht.nu[j] / T_REF))
-        mask = np.abs(grid - nu) <= wing_cutoff
+        # wing-cutoff window around the UNSHIFTED center (HAPI / reference
+        # convention, compute_absorption_cross_section.jl:106-107)
+        mask = np.abs(grid - ht.nu[j]) <= wing_cutoff
         z = SQRT_LN2 / gd * (grid[mask] - nu) + 1j * SQRT_LN2 * gl / gd
         out[mask] += S * 0.469718639319144059835 / gd * np.real(wofz(z))
     return out

@@ -90,10 +90,13 @@ def rt_run(model: RTModel, i_band: Union[int, Sequence[int]] = 0,
         from vsmartmom.core.rt_raman import rt_run_band_rrs
         if isinstance(rs_type, str):
             from vsmartmom.inelastic import make_rrs, make_vs
+            from vsmartmom.inelastic.rrs import make_rrs_profile
             grid = np.asarray(model.params.spec_bands[ib], np.float64)
             T_mean = float(np.mean(model.profile.T))
             if rs_type == "RRS":
-                specs = [make_rrs(grid, T=T_mean)]
+                # per-layer temperature weights (ref: raman_atmo_prop.jl
+                # builds Raman properties from each layer's T)
+                specs = [make_rrs_profile(grid, model.profile.T)]
             elif rs_type in ("VS_0to1", "VS_1to0"):
                 specs = make_vs(grid, T=T_mean, direction=rs_type[3:])
             else:

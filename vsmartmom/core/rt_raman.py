@@ -409,14 +409,22 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
             [jnp.zeros((1, tau.shape[1]), dtype),
              jnp.cumsum(tau, axis=0)], axis=0)
 
+        # per-layer Raman weights (nZ, nR, nSpec) ride the scan; a global
+        # (nR, nSpec) w_shifts is closed over instead (no broadcast copy)
+        w_layered = w_shifts.ndim == 3
+
         def scan_body(carry, inputs):
             comp, comp_ie = carry
-            tau_z, omega_z, zw_z, f_rayl_z, tau_sum_z = inputs
+            if w_layered:
+                tau_z, omega_z, zw_z, f_rayl_z, tau_sum_z, w_z = inputs
+            else:
+                tau_z, omega_z, zw_z, f_rayl_z, tau_sum_z = inputs
+                w_z = w_shifts
             z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
             z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
             added, added_ie = raman_make_added_layer(
                 tau_z, omega_z, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum_z,
-                f_rayl_z, (srcs, valids), w_shifts, gids, qp, wct2, wct02,
+                f_rayl_z, (srcs, valids), w_z, gids, qp, wct2, wct02,
                 i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu,
                 eye, rsolve)
             comp, comp_ie = raman_interaction(comp, comp_ie, added,
@@ -426,9 +434,10 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
 
         init = (vacuum_layer(n_spec, n, dtype),
                 zero_ie(n_r, n_spec, n, dtype))
-        (comp, comp_ie), _ = jax.lax.scan(
-            scan_body, init,
-            (tau, omega, zw, f_rayl, tau_sum_all[:-1]))
+        xs = (tau, omega, zw, f_rayl, tau_sum_all[:-1])
+        if w_layered:
+            xs = xs + (w_shifts,)
+        (comp, comp_ie), _ = jax.lax.scan(scan_body, init, xs)
 
         from vsmartmom.core.surface import lambertian_surface_layer
         surf = lambertian_surface_layer(
@@ -466,14 +475,21 @@ def build_coupling(specs, n_spec: int):
         if getattr(s, "band_range", None) is not None:
             lo, hi = s.band_range
         in_band = (idx >= lo) & (idx < hi)
-        for shift, w_s in zip(s.i_shift, s.w_shift):
+        for shift, w_s in zip(s.i_shift, np.asarray(s.w_shift).T):
+            # w_s: scalar (global) or (nZ,) per-layer weights for this shift
             src = idx + int(shift)
             valid = in_band & (src >= lo) & (src < hi)
             srcs.append(np.clip(src, 0, n_spec - 1).astype(np.int32))
             valids.append(valid)
-            ws.append(np.where(valid, w_s, 0.0))
+            if np.ndim(w_s) == 0:
+                ws.append(np.where(valid, w_s, 0.0))
+            else:
+                ws.append(np.where(valid[None, :], w_s[:, None], 0.0))
             gids.append(g)
-    return (np.stack(srcs), np.stack(valids), np.stack(ws),
+    ws = np.stack(ws)
+    if ws.ndim == 3:                       # (nR, nZ, nSpec) -> (nZ, nR, nSpec)
+        ws = ws.transpose(1, 0, 2)
+    return (np.stack(srcs), np.stack(valids), ws,
             np.asarray(gids, np.int32))
 
 
@@ -565,3 +581,227 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
             ieT[i] += big_cs[:, None] * ie_p[:, sl].T
 
     return R, T, ieR, ieT
+
+
+# --- inelastic multi-sensor (interior-level radiances with Raman) -----------
+
+def ie_interlayer_flux(top, top_ie, bot, bot_ie, shifts, eye, rsolve):
+    """Up/downwelling radiance at the interface between a top and bottom
+    composite, elastic + first-order Raman.
+
+    Elastic coupling (ref: CoreKernel/interlayer_flux.jl:7-25):
+        dwJ = (I - R_top^{+-} R_bot^{-+})^{-1} (J_top^+ + R_top^{+-} J_bot^-)
+        uwJ = (I - R_bot^{-+} R_top^{+-})^{-1} (J_bot^- + R_bot^{-+} J_top^+)
+    The ie terms are the off-diagonal blocks of the same algebra applied to
+    the 2x2 block operators (module docstring), replacing the reference's
+    hand-expanded RS paths in interaction_multisensor.jl.
+    Returns (uw, dw, ie_uw, ie_dw); ie_* carry the Raman-shift axis.
+    """
+    srcs, valids = _as_rows(shifts, top.r_mp.shape[0])
+
+    def lsolve(a, v):
+        return rsolve(v[:, None, :], a.transpose(0, 2, 1))[:, 0, :]
+
+    a_dw = eye - bmm(top.r_pm, bot.r_mp)
+    dw = lsolve(a_dw, top.j_p + bmv(top.r_pm, bot.j_m))
+    a_uw = eye - bmm(bot.r_mp, top.r_pm)
+    uw = lsolve(a_uw, bot.j_m + bmv(bot.r_mp, top.j_p))
+
+    def one_shift(src, valid, t_ie, b_ie):
+        tk = lambda x: take0(x, src, valid)
+        m_ie_dw = bmm(t_ie.r_pm, tk(bot.r_mp)) + bmm(top.r_pm, b_ie.r_mp)
+        ie_u_dw = (t_ie.j_p + bmv(t_ie.r_pm, tk(bot.j_m))
+                   + bmv(top.r_pm, b_ie.j_m))
+        ie_dw = lsolve(a_dw, ie_u_dw + bmv(m_ie_dw, tk(dw)))
+        m_ie_uw = bmm(b_ie.r_mp, tk(top.r_pm)) + bmm(bot.r_mp, t_ie.r_pm)
+        ie_u_uw = (b_ie.j_m + bmv(b_ie.r_mp, tk(top.j_p))
+                   + bmv(bot.r_mp, t_ie.j_p))
+        ie_uw = lsolve(a_uw, ie_u_uw + bmv(m_ie_uw, tk(uw)))
+        return ie_uw, ie_dw
+
+    ie_uw, ie_dw = jax.vmap(one_shift)(srcs, valids, top_ie, bot_ie)
+    return uw, dw, ie_uw, ie_dw
+
+
+@partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
+                                   "solver", "sensor_levels"))
+def _fourier_step_rrs_ms(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
+                         f_rayl, srcs, valids, w_shifts, gids, qp, wt,
+                         d_vec, i0_vec, albedo, mu0, mu0_node, min_qp_mu,
+                         *, i_mu0_n, n_stokes, is_m0, n_spec, solver,
+                         sensor_levels):
+    """One Fourier moment of the Raman-coupled multi-sensor RT: segmented
+    forward/reverse scans carrying (elastic, ie) composites, then the
+    ie-aware interlayer-flux coupling per sensor.
+    ref: rt_run_multisensor.jl + interaction_multisensor.jl RS paths."""
+    with jax.default_matmul_precision("highest"):
+        rsolve = make_rsolve(solver)
+        dtype = tau.dtype
+        n = qp.shape[0]
+        n_z = tau.shape[0]
+        n_r = srcs.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (n_spec, n, n))
+        wct02 = jnp.asarray(0.5 if is_m0 else 0.25, dtype)
+        wct2 = wt / 2.0 if is_m0 else wt / 4.0
+
+        tau_sum_all = jnp.concatenate(
+            [jnp.zeros((1, tau.shape[1]), dtype),
+             jnp.cumsum(tau, axis=0)], axis=0)
+
+        w_layered = w_shifts.ndim == 3
+
+        def layer(inputs):
+            if w_layered:
+                tau_z, omega_z, zw_z, f_rayl_z, tau_sum_z, w_z = inputs
+            else:
+                tau_z, omega_z, zw_z, f_rayl_z, tau_sum_z = inputs
+                w_z = w_shifts
+            z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
+            z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
+            return raman_make_added_layer(
+                tau_z, omega_z, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum_z,
+                f_rayl_z, (srcs, valids), w_z, gids, qp, wct2, wct02,
+                i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu,
+                eye, rsolve)
+
+        def seg_inputs(lo, hi):
+            out = (tau[lo:hi], omega[lo:hi], zw[lo:hi], f_rayl[lo:hi],
+                   tau_sum_all[lo:hi])
+            if w_layered:
+                out = out + (w_shifts[lo:hi],)
+            return out
+
+        tops = {}
+        carry = (vacuum_layer(n_spec, n, dtype),
+                 zero_ie(n_r, n_spec, n, dtype))
+        prev = 0
+        for s in sorted(sensor_levels):
+            if s > prev:
+                def fwd(c, inp):
+                    lay, lay_ie = layer(inp)
+                    return raman_interaction(c[0], c[1], lay, lay_ie,
+                                             (srcs, valids), eye,
+                                             rsolve), None
+                carry, _ = jax.lax.scan(fwd, carry, seg_inputs(prev, s))
+                prev = s
+            tops[s] = carry
+
+        from vsmartmom.core.surface import lambertian_surface_layer
+        surf = lambertian_surface_layer(
+            albedo, n_spec, n_stokes, qp, wt, i0_vec, tau_sum_all[-1], mu0,
+            is_m0, dtype)
+        bots = {}
+        acc = (surf, zero_ie(n_r, n_spec, n, dtype))
+        prev = n_z
+        for s in sorted(sensor_levels, reverse=True):
+            if s < prev:
+                def bwd(c, inp):
+                    lay, lay_ie = layer(inp)
+                    return raman_interaction(lay, lay_ie, c[0], c[1],
+                                             (srcs, valids), eye,
+                                             rsolve), None
+                acc, _ = jax.lax.scan(bwd, acc, seg_inputs(s, prev),
+                                      reverse=True)
+                prev = s
+            bots[s] = acc
+
+        uw, dw, ie_uw, ie_dw = [], [], [], []
+        for s in sensor_levels:
+            u, d, iu, idw = ie_interlayer_flux(
+                tops[s][0], tops[s][1], bots[s][0], bots[s][1],
+                (srcs, valids), eye, rsolve)
+            uw.append(u)
+            dw.append(d)
+            ie_uw.append(iu.sum(axis=0))
+            ie_dw.append(idw.sum(axis=0))
+        return (jnp.stack(uw), jnp.stack(dw),
+                jnp.stack(ie_uw), jnp.stack(ie_dw))
+
+
+def rt_run_band_rrs_ms(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
+                       surface, sensor_levels, dtype=jnp.float64,
+                       solver=None):
+    """Multi-sensor forward run with Raman coupling.
+
+    sensor_levels: layer-interface indices, 0 = TOA .. nZ = BOA.
+    Returns (uwJ, dwJ, ie_uwJ, ie_dwJ), each
+    (nSensor, n_vza, n_stokes, nSpec).
+    ref: rt_run_multisensor.jl rt_run_test_ms with RS types +
+    postprocessing_vza_ms.jl ieJ accumulation.
+    """
+    from vsmartmom.scattering.phase import compute_Z_moments
+    from vsmartmom.util.quadrature import nearest_point
+
+    if solver is None:
+        solver = "lu" if jax.default_backend() == "cpu" else "schulz"
+    specs = rrs if isinstance(rrs, (list, tuple)) else [rrs]
+    n_spec = band.tau.shape[1]
+    n = len(quad.qp_mu_n)
+    n_stokes = pol.n
+    n_z = band.tau.shape[0]
+    sensor_levels = tuple(int(s) for s in sensor_levels)
+    assert all(0 <= s <= n_z for s in sensor_levels), "bad sensor level"
+    vza = np.asarray(vza, dtype=np.float64)
+    vaz = np.asarray(vaz, dtype=np.float64)
+
+    i0_vec = np.zeros(n)
+    i0_vec[quad.i_mu0_n:quad.i_mu0_n + n_stokes] = pol.i0
+    d_vec = np.tile(pol.d, quad.n_quad)
+    mu0_node = float(quad.qp_mu_n[quad.i_mu0_n])
+    min_qp_mu = float(np.min(quad.qp_mu))
+
+    assert surface["type"] == "LambertianSurfaceScalar", \
+        "Raman runs support Lambertian surfaces (as the reference)"
+    albedo = float(surface["albedo"])
+
+    shape = (len(sensor_levels), len(vza), n_stokes, n_spec)
+    uw_out = np.zeros(shape)
+    dw_out = np.zeros(shape)
+    ie_uw_out = np.zeros(shape)
+    ie_dw_out = np.zeros(shape)
+
+    to_dev = lambda x: jnp.asarray(x, dtype)
+    srcs_np, valids_np, ws_np, gids_np = build_coupling(specs, n_spec)
+    srcs = jnp.asarray(srcs_np)
+    valids = jnp.asarray(valids_np)
+    w_shifts = to_dev(ws_np)
+    gids = jnp.asarray(gids_np)
+
+    for m in range(max_m):
+        z_pp_list, z_mp_list = [], []
+        for gc in band.greeks:
+            zpp, zmp = compute_Z_moments(pol, quad.qp_mu, gc, m)
+            z_pp_list.append(zpp)
+            z_mp_list.append(zmp)
+        z_pp_r, z_mp_r = [], []
+        for s in specs:
+            a, b = compute_Z_moments(pol, quad.qp_mu, s.greek_raman, m)
+            z_pp_r.append(a)
+            z_mp_r.append(b)
+
+        uw_j, dw_j, ie_uw_j, ie_dw_j = _fourier_step_rrs_ms(
+            to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
+            to_dev(np.stack(z_pp_list)), to_dev(np.stack(z_mp_list)),
+            to_dev(np.stack(z_pp_r)), to_dev(np.stack(z_mp_r)),
+            to_dev(f_rayl), srcs, valids, w_shifts, gids,
+            to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n), to_dev(d_vec),
+            to_dev(i0_vec), jnp.asarray(albedo, dtype),
+            jnp.asarray(quad.mu0, dtype), jnp.asarray(mu0_node, dtype),
+            jnp.asarray(min_qp_mu, dtype),
+            i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
+            n_spec=n_spec, solver=solver, sensor_levels=sensor_levels)
+
+        arrs = [np.asarray(a) for a in (uw_j, dw_j, ie_uw_j, ie_dw_j)]
+        weight = 0.5 if m == 0 else 1.0
+        for i in range(len(vza)):
+            i_mu = nearest_point(quad.qp_mu, np.cos(np.deg2rad(vza[i])))
+            sl = slice(n_stokes * i_mu, n_stokes * (i_mu + 1))
+            cm = np.cos(np.deg2rad(m * vaz[i]))
+            sm = np.sin(np.deg2rad(m * vaz[i]))
+            big_cs = weight * np.array([cm, cm, sm, sm][:n_stokes])
+            for out, arr in zip((uw_out, dw_out, ie_uw_out, ie_dw_out),
+                                arrs):
+                out[:, i] += (big_cs[None, :, None]
+                              * arr[:, :, sl].transpose(0, 2, 1))
+
+    return uw_out, dw_out, ie_uw_out, ie_dw_out

@@ -118,6 +118,29 @@ def make_rrs(grid: np.ndarray, T: float = 250.0, vmr_n2: float = 0.79,
                depol_rayl=rayleigh_depol(lines, vmrs))
 
 
+def make_rrs_profile(grid: np.ndarray, T_layers, vmr_n2: float = 0.79,
+                     vmr_o2: float = 0.21, j_max: int = 30) -> RRS:
+    """Per-layer-temperature RRS coupling: one RRS spec whose ``w_shift``
+    is (nZ, n_Raman) and ``omega_cabannes`` (nZ,), built from each layer's
+    temperature. The rotational line *positions* (hence i_shift rows) are
+    T-independent; only the population-driven weights and the Cabannes
+    fraction vary — the reference computes exactly these per layer
+    (ref: raman_atmo_prop.jl:14-160 getRamanSSProp! per-layer T use).
+    """
+    T_layers = np.atleast_1d(np.asarray(T_layers, np.float64))
+    per = [make_rrs(grid, T=float(t), vmr_n2=vmr_n2, vmr_o2=vmr_o2,
+                    j_max=j_max) for t in T_layers]
+    i_shift = per[0].i_shift
+    for p in per[1:]:
+        assert np.array_equal(p.i_shift, i_shift), \
+            "RRS shift set must be T-independent"
+    w = np.stack([p.w_shift for p in per])           # (nZ, nR)
+    cab = np.array([p.omega_cabannes for p in per])  # (nZ,)
+    return RRS(i_shift=i_shift, w_shift=w, omega_cabannes=cab,
+               greek_raman=per[0].greek_raman,
+               depol_rayl=per[0].depol_rayl)
+
+
 def _deposit_lines(pairs, grid, sigma_rayl):
     """Deposit (vmr, shifts, coeffs) line sets onto grid-index offsets.
     Returns (i_shift, w_shift) in the receiver picture."""
