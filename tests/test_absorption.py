@@ -184,7 +184,31 @@ def test_interpolation_model_roundtrip(tmp_path):
     direct = np.asarray(compute_absorption_cross_section(model, nu, 1000.0,
                                                          250.0))
     interp = itp2(nu, 1000.0, 250.0)
+    assert itp2.method == "cubic"
     assert np.abs(direct - interp).max() < 3.6e-27
+
+
+def test_interpolation_cubic_beats_linear_on_absco_spacing():
+    """Cubic B-splines (the reference's scheme, make_model_helpers.jl:91)
+    on an ABSCO-like coarse (p, T) grid: off-grid (p, T) queries must meet
+    the HAPI tolerance, where trilinear does not."""
+    ht = read_hitran(CO2_FILE, mol=2, iso=1)
+    model = make_hitran_model(ht, "Voigt")
+    nu = np.arange(6300.0, 6320.0, 0.01)
+    # ABSCO v5 layering: ~100 hPa pressure spacing, ~25 K temperature rungs
+    p_grid = np.arange(200.0, 1301.0, 100.0)
+    t_grid = np.arange(150.0, 351.0, 25.0)
+    kw = dict(nu_grid=nu, p_grid=p_grid, t_grid=t_grid)
+    cubic = make_interpolation_model(model, method="cubic", **kw)
+    linear = make_interpolation_model(model, method="linear", **kw)
+
+    worst_c = worst_l = 0.0
+    for p, t in [(957.0, 261.5), (463.0, 212.3), (1142.0, 288.7)]:
+        direct = np.asarray(compute_absorption_cross_section(model, nu, p, t))
+        worst_c = max(worst_c, np.abs(cubic(nu, p, t) - direct).max())
+        worst_l = max(worst_l, np.abs(linear(nu, p, t) - direct).max())
+    assert worst_c < 3.6e-27, worst_c
+    assert worst_c < 0.25 * worst_l, (worst_c, worst_l)
 
 
 def test_xsec_autodiff():

@@ -363,23 +363,81 @@ def run_fit(molecule, max_rounds=12, target=2.4e-27, emit=False):
     return ls, mx
 
 
+def quantize_theta(th):
+    """Round parameters to HITRAN .par field precision (the truth values
+    HAPI consumed are themselves .par-quantized, so a converged fit snaps
+    onto them): nu F12.6, S E10.3 (4 sig digits), gamma F5.4, elower
+    F10.4, n_air F4.2, delta_air F8.6."""
+    q = th.copy()
+    q[:, 0] = np.round(q[:, 0], 6)
+    q[:, 1] = np.log(np.float64([float(f"{s:.3E}")
+                                 for s in np.exp(q[:, 1])]))
+    q[:, 2] = np.round(q[:, 2], 4)
+    q[:, 3] = np.log(np.maximum(np.round(np.exp(q[:, 3]), 4), 1e-4))
+    q[:, 4] = np.round(q[:, 4], 2)
+    q[:, 5] = np.round(q[:, 5], 6)
+    return q
+
+
+def polish_quantized(ls, conds, Y, free=(0, 1), iters=4):
+    """Quantize -> refit only the un-quantization-limited parameters.
+
+    gamma/n_air/elower are frozen at their .par-quantized values; nu0 and
+    lnS (refit, then re-quantized) absorb the residual so the EMITTED
+    record set — not just the float fit state — meets the gate.
+    """
+    M = synth_full(ls, conds)
+    best = quantize_theta(ls.theta)
+    ls.theta = best.copy()
+    best_r = float(np.abs(Y - synth_full(ls, conds)).max())
+    for it in range(iters):
+        M = synth_full(ls, conds)
+        fit_sweep(ls, conds, Y, M, iters=6)
+        # re-freeze the coarse fields, keep polished nu0/lnS
+        th = quantize_theta(ls.theta)
+        keep = best.copy()
+        for k in free:
+            keep[:, k] = th[:, k]
+        ls.theta = keep
+        r = float(np.abs(Y - synth_full(ls, conds)).max())
+        print(f"[{ls.molecule}] quantize-polish {it}: {r:.3e}", flush=True)
+        if r < best_r:
+            best_r, best = r, keep.copy()
+    ls.theta = best
+    return best_r
+
+
 def emit_par(ls):
-    """Write the fitted lines as HITRAN2004 160-char records."""
+    """Write the fitted lines as HITRAN2004 160-char records (standard
+    field precision; quantize_theta mirrors these formats)."""
     th = ls.theta[np.argsort(ls.theta[:, 0])]
     path = os.path.join(os.path.dirname(__file__), "..", "data", "hitran",
                         f"{ls.molecule}.par")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def f54(x):          # HITRAN F5.4 width: ".0687" (no leading zero)
+        s = f"{x:6.4f}"
+        return s[1:] if s.startswith("0") else s[:5]
+
+    def f86(x):          # HITRAN F8.6 shift: "-.008000"
+        s = f"{x:.6f}".replace("0.", ".", 1)
+        return s.rjust(8)[:8]
+
+    def f42(x):          # HITRAN F4.2 exponent: "0.72" / "-.25"
+        s = f"{x:4.2f}"
+        return ("-" + s[2:]) if s.startswith("-0") else s[:4]
+
     with open(path, "w") as f:
         for nu0, lnS, elow, lg, nair, dair in th:
             rec = (f"{ls.mol_id:2d}" + "1"
                    + f"{nu0:12.6f}"
                    + f"{np.exp(lnS):10.3E}"
                    + f"{1.0e-3:10.3E}"
-                   + f"{np.exp(lg):5.3f}"[:5]
-                   + f"{np.exp(lg):5.3f}"[:5]
+                   + f54(np.exp(lg))
+                   + f54(np.exp(lg))
                    + f"{elow:10.4f}"
-                   + f"{nair:4.2f}"
-                   + f"{dair:8.5f}"[:8]
+                   + f42(nair)
+                   + f86(dair)
                    + " " * 15 + " " * 15 + " " * 15 + " " * 15
                    + " " * 6 + " " * 12 + " "
                    + f"{0.0:7.1f}" + f"{0.0:7.1f}")
