@@ -133,3 +133,32 @@ def test_rt_run_raman_dispatch():
     # Cabannes-only elastic < full-Rayleigh elastic; sum restores it
     assert R[0, 0, c] < R0[0, 0, c]
     assert R[0, 0, c] + ieR[0, 0, c] == pytest.approx(R0[0, 0, c], rel=5e-3)
+
+
+def test_rt_run_concatenated_bands_match_per_band():
+    """Elastic multi-band runs use ONE concatenated spectral axis (single
+    jit, ref: rt_run.jl:66-74 bandSpecLim) and must equal the per-band
+    runs stitched together — including per-band Lambertian albedos."""
+    from vsmartmom.core.api import band_spec_lim
+
+    params = parameters_from_yaml(f"{DATA}/rayleigh_benchmark.yaml")
+    params.spec_bands = [np.arange(13000.0, 13010.0, 2.0),
+                         np.arange(14000.0, 14012.0, 3.0)]
+    params.surfaces = [{"type": "LambertianSurfaceScalar", "albedo": 0.1},
+                       {"type": "LambertianSurfaceScalar", "albedo": 0.3}]
+    model = model_from_parameters(params)
+    # same doubling count for both bands (ceil(log2(tau/dtau_max)) equal),
+    # so concat == per-band to machine precision rather than to the
+    # doubling discretization error
+    model.tau_rayl[0][:] = 0.25
+    model.tau_rayl[1][:] = 0.23
+
+    R_cat, T_cat = rt_run(model, i_band=[0, 1])
+    R0, T0 = rt_run(model, i_band=0)
+    R1, T1 = rt_run(model, i_band=1)
+    lims = band_spec_lim(model, [0, 1])
+    assert R_cat.shape[-1] == R0.shape[-1] + R1.shape[-1]
+    np.testing.assert_allclose(R_cat[..., lims[0]], R0, rtol=5e-12)
+    np.testing.assert_allclose(R_cat[..., lims[1]], R1, rtol=5e-12)
+    np.testing.assert_allclose(T_cat[..., lims[0]], T0, rtol=5e-12)
+    np.testing.assert_allclose(T_cat[..., lims[1]], T1, rtol=5e-12)

@@ -41,9 +41,68 @@ def test_watts_to_photons():
     assert out[0] == pytest.approx(5.0341e18, rel=1e-3)
 
 
-def test_default_solar_transmission_offline_fallback():
+def test_default_solar_transmission_offline_fallback(tmp_path, monkeypatch):
+    # hide the vendored line list (search paths are cwd-relative)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("VSMARTMOM_SOLAR_FILE", raising=False)
+    monkeypatch.delenv("VSMARTMOM_DATA_DIR", raising=False)
     grid = np.arange(13000.0, 13001.0, 0.1)
     with pytest.warns(UserWarning):
         out = default_solar_transmission(grid)
     assert out.shape == (len(grid), 2)
     np.testing.assert_allclose(out[:, 1], 1.0)
+
+
+# Known vacuum wavenumbers of classical Fraunhofer lines [cm^-1]
+# (air wavelengths from Allen's AQ converted with Edlen standard air;
+#  e.g. Na D2 5889.95 A air = 5891.58 A vac = 16973.37 cm^-1).
+FRAUNHOFER = [
+    ("Ca II K", 25414.42, 0.5),
+    ("H-alpha", 15233.17, 0.3),
+    ("Na D2", 16973.37, 0.3),
+    ("Na D1", 16956.18, 0.3),
+    ("K I", 12985.19, 0.1),
+]
+
+
+@pytest.mark.parametrize("name,nu0,min_depth", FRAUNHOFER)
+def test_solar_linelist_fraunhofer_lines(name, nu0, min_depth):
+    """The vendored solar transmission has absorption minima at the known
+    Fraunhofer positions (ref: SolarModel.jl:96-157 behavior with the Toon
+    GGG2014 list; here the physics-derived stand-in from
+    tools/make_solar_linelist.py)."""
+    grid = np.arange(nu0 - 5.0, nu0 + 5.0, 0.01)
+    out = default_solar_transmission(grid)
+    trans = out[:, 1]
+    i_min = int(np.argmin(trans))
+    # saturated cores have flat bottoms: locate by absorption centroid
+    depth = 1.0 - trans
+    centroid = float((grid * depth).sum() / depth.sum())
+    assert abs(centroid - nu0) < 0.5, (name, centroid)
+    assert trans[i_min] < 1.0 - min_depth, (name, trans[i_min])
+    # continuum recovers away from the core
+    assert trans[0] > trans[i_min] and trans[-1] > trans[i_min]
+
+
+def test_solar_na_d_equivalent_width():
+    """EW of the Na D2 profile matches the published 0.75 A within the
+    synthesis tolerance (integral check over +-40 cm^-1)."""
+    nu0 = 16973.37
+    grid = np.arange(nu0 - 40.0, nu0 + 20.0, 0.005)   # D1 sits +17 cm^-1
+    # isolate D2: integrate only its half-profiles away from D1
+    out = default_solar_transmission(grid)
+    depth = 1.0 - out[:, 1]
+    mask = np.abs(grid - nu0) < 8.0
+    ew_wn = np.trapezoid(depth[mask], grid[mask])
+    ew_angstrom = ew_wn / (nu0**2 * 1e-8)
+    assert 0.4 < ew_angstrom < 1.1, ew_angstrom
+
+
+def test_solar_spectrum_at_earth_has_lines():
+    from vsmartmom.solar import default_solar_spectrum_at_earth
+    grid = np.arange(16950.0, 16990.0, 0.01)
+    spec = default_solar_spectrum_at_earth(grid)
+    # both Na D lines carved into the Planck envelope
+    smooth = np.interp(grid, grid[::200], spec[::200, 1])
+    dips = (smooth - spec[:, 1]) / smooth
+    assert (dips > 0.5).sum() > 10

@@ -5,16 +5,22 @@ CO2: its fixed 1.5 cm^-1 chunks and 6 LM iterations cannot untangle
 blended multiplets. This pass instead (1) locates every spectral interval
 whose residual exceeds the target, (2) runs a deep LM (hundreds of
 iterations) on all lines in the interval against all 25 conditions, and
-(3) splits the locally-worst line into a doublet when LM stalls — the
+(3) splits the locally-worst blend by adding a line when LM stalls — the
 strategy that closed the H2O fit to 3.7e-28.
 
-State is saved after every improving window, so the run is resumable.
+Windows are disjoint spectral cores (+- small co-fit pads), so they are
+embarrassingly parallel: a multiprocessing pool fans the windows across
+host cores; each worker returns updates only for lines whose center lies
+in its un-padded core, so merges are conflict-free. State is saved after
+every outer round (resumable).
 
 Usage: python tools/polish_windows.py CO2 [--target=2.4e-27] [--hours=2]
+       [--procs=24]
 """
 import os
 import sys
 import time
+from multiprocessing import Pool
 
 import numpy as np
 
@@ -22,112 +28,209 @@ sys.path.insert(0, os.path.dirname(__file__))
 from fit_linelist import (GRID, LineSet, STATE_DIR, load_conditions,  # noqa
                           synth_full, window_model_jac, init_line)
 
+PAD = 0.35      # co-fit margin around each window core [cm^-1]
+GPAD = 2.0      # extra grid margin for the data slice [cm^-1]
 
-def bad_windows(resid, target, pad=0.35, min_gap=0.8):
-    """Merge over-target grid points into [lo_nu, hi_nu] intervals."""
+
+def bad_windows(resid, target, min_gap=0.8, max_width=3.0):
+    """Merge over-target grid points into DISJOINT [lo, hi) core intervals,
+    chopped to max_width (a 50 cm^-1 mega-window would need a ~GB
+    Jacobian)."""
     bad = np.abs(resid).max(axis=0) > target
     idx = np.where(bad)[0]
     if len(idx) == 0:
         return []
     nus = GRID[idx]
-    out = []
+    merged = []
     lo = hi = nus[0]
     for x in nus[1:]:
         if x - hi <= min_gap:
             hi = x
         else:
-            out.append((lo - pad, hi + pad))
+            merged.append((lo, hi))
             lo = hi = x
-    out.append((lo - pad, hi + pad))
+    merged.append((lo, hi))
+    out = []
+    for lo, hi in merged:
+        n_chunk = max(1, int(np.ceil((hi - lo + 0.02) / max_width)))
+        edges = np.linspace(lo - 0.01, hi + 0.01, n_chunk + 1)
+        out.extend(zip(edges[:-1], edges[1:]))
     return out
 
 
-def lm_window(ls, conds, Y, M, a, b, iters=250, gpad=2.0):
-    """Deep LM on all lines in [a, b); returns (improved, window_resid)."""
-    idx = np.where((ls.theta[:, 0] >= a) & (ls.theta[:, 0] < b))[0]
-    g_lo = np.searchsorted(GRID, a - gpad)
-    g_hi = np.searchsorted(GRID, b + gpad, side="right")
-    g = GRID[g_lo:g_hi]
-    if len(idx) == 0:
-        return False, float(np.abs(Y[:, g_lo:g_hi] - M[:, g_lo:g_hi]).max())
-    m0, _ = window_model_jac(ls, idx, conds, g)
-    data = Y[:, g_lo:g_hi] - (M[:, g_lo:g_hi] - m0)
+def _init_from_peak(molecule, nu_pk, heights, conds, weight, mol_id):
+    """(lnS, E'') from the peak's residual heights across the lowest-P
+    temperature sequence — init_line's multi-T estimate on a local column
+    (new hot-band lines start with a physical E'' instead of a copied
+    neighbor value)."""
+    from fit_linelist import (C2, C_LIGHT, K_BOLTZ, MASS_MOL, P_REF,
+                              SQRT_2LN2, SQRT_LN2, SQRT_LN2_DIV_SQRT_PI,
+                              T_REF, tips)
+    from scipy.special import wofz
+    g_air0 = 0.07
+    p_min = min(p for _, p in conds)
+    hs, xs = [], []
+    for c, (T, p) in enumerate(conds):
+        if p != p_min or heights[c] <= 0:
+            continue
+        g_l = g_air0 * p / P_REF * (T_REF / T) ** 0.75
+        g_d = ((SQRT_2LN2 / C_LIGHT) * np.sqrt(K_BOLTZ / MASS_MOL)
+               * np.sqrt(T) * nu_pk / np.sqrt(weight))
+        y = SQRT_LN2 * g_l / g_d
+        peak_fac = SQRT_LN2_DIV_SQRT_PI / g_d * wofz(1j * y).real
+        qratio = tips.qoft_ratio(mol_id, 1, T)
+        stim = np.expm1(-C2 * nu_pk / T) / np.expm1(-C2 * nu_pk / T_REF)
+        hs.append(np.log(heights[c] / (qratio * stim * peak_fac)))
+        xs.append(C2 * (1.0 / T_REF - 1.0 / T))
+    if len(hs) < 2:
+        return None
+    A = np.vstack([np.ones(len(xs)), np.asarray(xs)]).T
+    sol, *_ = np.linalg.lstsq(A, np.asarray(hs), rcond=None)
+    lnS = float(np.clip(sol[0], np.log(1e-31), np.log(1e-18)))
+    elow = float(np.clip(sol[1], 0.0, 4000.0))
+    return np.array([nu_pk, lnS, elow, np.log(g_air0), 0.75, 0.0])
 
-    lm = 1e-6
-    prev = None
-    best = ls.theta[idx].copy()
-    best_cost = np.inf
-    stall = 0
-    for it in range(iters):
-        m, jac = window_model_jac(ls, idx, conds, g)
-        r = (data - m).ravel()
-        cost = float(r @ r)
-        if cost < best_cost * (1.0 - 1e-9):
-            best_cost, best = cost, ls.theta[idx].copy()
-            stall = 0
-        else:
-            stall += 1
-        if prev is None or cost <= prev:
-            prev = cost
-            lm = max(lm * 0.5, 1e-10)
-        else:
-            ls.theta[idx] = best
-            lm *= 8.0
+
+def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=6,
+            block=36):
+    """Deep LM on the window's LineSet against ``data`` (the spectrum the
+    window's lines must explain). Mutates ls; returns window residual.
+
+    Dense windows are fit block-coordinate-wise (<= ``block`` lines per LM
+    subproblem — a 200-line window would otherwise build ~200 MB Jacobians
+    per iteration); residual peaks are seeded as new lines UP FRONT (the
+    truth list has many weak hot-band lines below the global matching-
+    pursuit detection floor)."""
+    def seed_peaks(model_now, thr, max_new=8):
+        """Add lines at the strongest residual peaks above thr (capped —
+        uncapped seeding on a wiggly residual floods the window)."""
+        resid = data - model_now
+        in_core = (g >= a) & (g < b)
+        absr = np.abs(resid[:, in_core]).max(axis=0)
+        gc = g[in_core]
+        peaks = []
+        for j in range(1, len(gc) - 1):
+            if (absr[j] > thr and absr[j] >= absr[j - 1]
+                    and absr[j] >= absr[j + 1]):
+                peaks.append((absr[j], gc[j]))
+        peaks.sort(reverse=True)
+        new = []
+        taken = []
+        core_resid = resid[:, in_core]
+        for h, nu_pk in peaks:
+            if len(new) >= max_new:
+                break
+            if taken and np.min(np.abs(np.asarray(taken) - nu_pk)) < 0.03:
+                continue
+            j = int(np.abs(gc - nu_pk).argmin())
+            row = _init_from_peak(ls.molecule, nu_pk, core_resid[:, j],
+                                  conds, ls.weight, ls.mol_id)
+            if row is None:
+                if ls.n:
+                    k = int(np.abs(ls.theta[:, 0] - nu_pk).argmin())
+                    row = ls.theta[k].copy()
+                else:
+                    row = np.array([nu_pk, np.log(1e-26), 500.0,
+                                    np.log(0.07), 0.7, -0.005])
+                row[0] = nu_pk
+                row[1] = np.log(max(h * 0.07, 1e-30))
+            new.append(row)
+            taken.append(nu_pk)
+        if new:
+            ls.theta = np.vstack([ls.theta] + [r[None] for r in new])
+        return len(new)
+
+    def lm_block(idx, base_model):
+        """LM on the ``idx`` subset; other lines frozen into base_model."""
+        m_sub, _ = window_model_jac(ls, idx, conds, g)
+        d_blk = data - (base_model - m_sub)
+        lm = 1e-6
+        prev = None
+        best = ls.theta[idx].copy()
+        best_cost = np.inf
+        stall = 0
+        for _ in range(iters):
             m, jac = window_model_jac(ls, idx, conds, g)
-            r = (data - m).ravel()
-        if stall > 25:
+            r = (d_blk - m).ravel()
+            cost = float(r @ r)
+            if cost < best_cost * (1.0 - 1e-9):
+                best_cost, best = cost, ls.theta[idx].copy()
+                stall = 0
+            else:
+                stall += 1
+            if prev is None or cost <= prev:
+                prev = cost
+                lm = max(lm * 0.5, 1e-10)
+            else:
+                ls.theta[idx] = best
+                lm *= 8.0
+                m, jac = window_model_jac(ls, idx, conds, g)
+                r = (d_blk - m).ravel()
+            if stall > 15:
+                break
+            J = jac.reshape(len(r), len(idx) * 6)
+            s = np.sqrt((J * J).sum(axis=0)) + 1e-300
+            A = (J / s).T @ (J / s) + lm * np.eye(J.shape[1])
+            try:
+                step = np.linalg.solve(A, (J / s).T @ r) / s
+            except np.linalg.LinAlgError:
+                break
+            th = ls.theta[idx] + step.reshape(len(idx), 6)
+            th[:, 0] = np.clip(th[:, 0], a - PAD - 0.2, b + PAD + 0.2)
+            th[:, 1] = np.clip(th[:, 1], np.log(1e-31), np.log(1e-18))
+            th[:, 2] = np.clip(th[:, 2], 0.0, 4500.0)
+            th[:, 3] = np.clip(th[:, 3], np.log(0.005), np.log(0.3))
+            th[:, 4] = np.clip(th[:, 4], -0.5, 1.2)
+            th[:, 5] = np.clip(th[:, 5], -0.05, 0.05)
+            ls.theta[idx] = th
+        ls.theta[idx] = best
+        m, _ = window_model_jac(ls, idx, conds, g)
+        return base_model - m_sub + m
+
+    def sweep():
+        """Block-coordinate LM over all window lines (spatial blocks)."""
+        order = np.argsort(ls.theta[:, 0])
+        ls.theta = ls.theta[order]
+        model_now, _ = window_model_jac(ls, np.arange(ls.n), conds, g)
+        n_blocks = max(1, int(np.ceil(ls.n / block)))
+        bounds = np.linspace(0, ls.n, n_blocks + 1).astype(int)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if hi > lo:
+                model_now = lm_block(np.arange(lo, hi), model_now)
+        return float(np.abs(data - model_now).max()), model_now
+
+    if ls.n == 0:
+        seed_peaks(np.zeros_like(data), target)
+        if ls.n == 0:
+            return float(np.abs(data).max())
+    wres, m = sweep()
+    for _ in range(max_splits):
+        if wres <= target:
             break
-        J = jac.reshape(len(r), len(idx) * 6)
-        s = np.sqrt((J * J).sum(axis=0)) + 1e-300
-        Jn = J / s
-        A = Jn.T @ Jn + lm * np.eye(Jn.shape[1])
-        try:
-            step = np.linalg.solve(A, Jn.T @ r) / s
-        except np.linalg.LinAlgError:
+        if not seed_peaks(m, max(target * 1.2, wres / 20.0)):
             break
-        th = ls.theta[idx] + step.reshape(len(idx), 6)
-        th[:, 1] = np.clip(th[:, 1], np.log(1e-31), np.log(1e-18))
-        th[:, 2] = np.clip(th[:, 2], 0.0, 4500.0)
-        th[:, 3] = np.clip(th[:, 3], np.log(0.005), np.log(0.3))
-        th[:, 4] = np.clip(th[:, 4], -0.5, 1.2)
-        th[:, 5] = np.clip(th[:, 5], -0.05, 0.05)
-        ls.theta[idx] = th
-    ls.theta[idx] = best
-    m, _ = window_model_jac(ls, idx, conds, g)
-    M[:, g_lo:g_hi] += m - m0
-    wres = float(np.abs(Y[:, g_lo:g_hi] - M[:, g_lo:g_hi]).max())
-    return True, wres
+        wres, m = sweep()
+    return wres
 
 
-def split_worst(ls, conds, Y, M, a, b, target):
-    """Add a line at the worst residual peak inside [a, b); M is updated
-    in place with the new line's contribution (no full re-synthesis)."""
-    g_lo = np.searchsorted(GRID, a)
-    g_hi = np.searchsorted(GRID, b, side="right")
-    resid = Y[:, g_lo:g_hi] - M[:, g_lo:g_hi]
-    j = int(np.abs(resid).max(axis=0).argmax())
-    nu_pk = GRID[g_lo + j]
-    full_resid = Y - M
-    row = init_line(ls.molecule, float(nu_pk), full_resid, conds,
-                    ls.weight, ls.mol_id)
-    if row is None:
-        # seed from the nearest existing line, shifted to the peak
-        k = int(np.abs(ls.theta[:, 0] - nu_pk).argmin())
-        row = ls.theta[k].copy()
-        row[0] = nu_pk
-        row[1] = max(row[1] - 3.0, np.log(1e-30))
-    row = np.asarray(row).ravel()
-    ls.add(np.atleast_2d(row))
-    # add only the new line's profile to M (its 40 cm^-1 wing window)
-    sub = LineSet(ls.molecule)
-    sub.theta = row[None]
-    w_lo = np.searchsorted(GRID, row[0] - 41.0)
-    w_hi = np.searchsorted(GRID, row[0] + 41.0, side="right")
-    shift = synth_full(sub, conds)
-    M[:, w_lo:w_hi] += shift[:, w_lo:w_hi]
+def _work(task):
+    """One window: returns (win, wres, core_idx, new_core_theta, added)."""
+    (a, b), theta_snap, idx_all, data, g, conds, target, molecule = task
+    ls = LineSet(molecule)
+    ls.theta = theta_snap.copy()
+    n_orig = ls.n
+    wres = lm_core(ls, conds, data, g, a, b, target)
+    core = (ls.theta[:n_orig, 0] >= a) & (ls.theta[:n_orig, 0] < b)
+    # lines that drifted out of the core are frozen (their home window owns
+    # them); newly added lines are returned whole
+    upd_idx = idx_all[core]
+    upd_theta = ls.theta[:n_orig][core]
+    added = ls.theta[n_orig:]
+    added = added[(added[:, 0] >= a) & (added[:, 0] < b)]
+    return (a, b), wres, upd_idx, upd_theta, added
 
 
-def main(molecule, target, hours, outer=6):
+def main(molecule, target, hours, procs, outer=8):
     conds, Y = load_conditions(molecule)
     ls = LineSet(molecule)
     path = os.path.join(STATE_DIR, f"{molecule}_fit.npz")
@@ -140,31 +243,44 @@ def main(molecule, target, hours, outer=6):
         print(f"[{molecule}] polish round {rnd}: {ls.n} lines, "
               f"max|resid| = {g_res:.3e}, {len(wins)} bad windows",
               flush=True)
-        if g_res < target or not wins:
+        if g_res < target or not wins or time.time() > t_end:
             break
-        # worst windows first
-        order = sorted(wins, key=lambda w: -float(
-            np.abs(Y[:, np.searchsorted(GRID, w[0]):
-                       np.searchsorted(GRID, w[1], side='right')]
-                   - M[:, np.searchsorted(GRID, w[0]):
-                        np.searchsorted(GRID, w[1], side='right')]).max()))
-        for wi, (a, b) in enumerate(order):
-            if time.time() > t_end:
-                print(f"[{molecule}] time budget reached", flush=True)
-                ls.save(path)
-                return
-            _, wres = lm_window(ls, conds, Y, M, a, b)
-            tries = 0
-            while wres > target and tries < 4:
-                split_worst(ls, conds, Y, M, a, b, target)
-                _, wres = lm_window(ls, conds, Y, M, a, b)
-                tries += 1
-            if wi % 20 == 0:
-                print(f"[{molecule}]   window {wi}/{len(order)} "
-                      f"[{a:.2f},{b:.2f}] -> {wres:.2e} "
-                      f"({ls.n} lines)", flush=True)
-                ls.save(path)
+
+        tasks = []
+        nu_all = ls.theta[:, 0]
+        for (a, b) in wins:
+            sel = (nu_all >= a - PAD) & (nu_all < b + PAD)
+            idx_all = np.where(sel)[0]
+            g_lo = np.searchsorted(GRID, a - PAD - GPAD)
+            g_hi = np.searchsorted(GRID, b + PAD + GPAD, side="right")
+            g = GRID[g_lo:g_hi]
+            if len(idx_all):
+                m0, _ = window_model_jac(ls, idx_all, conds, g)
+            else:
+                m0 = 0.0
+            data = Y[:, g_lo:g_hi] - (M[:, g_lo:g_hi] - m0)
+            tasks.append(((a, b), ls.theta[idx_all], idx_all, data, g,
+                          conds, target, molecule))
+
+        with Pool(procs) as pool:
+            results = pool.map(_work, tasks, chunksize=1)
+
+        n_over = 0
+        new_rows = []
+        for (a, b), wres, upd_idx, upd_theta, added in results:
+            ls.theta[upd_idx] = upd_theta
+            if len(added):
+                new_rows.append(added)
+            if wres > target:
+                n_over += 1
+        if new_rows:
+            ls.add(np.vstack(new_rows))
+        else:
+            order = np.argsort(ls.theta[:, 0])
+            ls.theta = ls.theta[order]
         ls.save(path)
+        print(f"[{molecule}]   round {rnd} done: {n_over}/{len(wins)} "
+              f"windows still over target, {ls.n} lines", flush=True)
     M = synth_full(ls, conds)
     print(f"[{molecule}] final: {ls.n} lines, "
           f"max|resid| = {np.abs(Y - M).max():.3e}", flush=True)
@@ -175,9 +291,12 @@ if __name__ == "__main__":
     mol = sys.argv[1] if len(sys.argv) > 1 else "CO2"
     target = 2.4e-27
     hours = 2.0
-    for a in sys.argv[2:]:
-        if a.startswith("--target="):
-            target = float(a.split("=")[1])
-        if a.startswith("--hours="):
-            hours = float(a.split("=")[1])
-    main(mol, target, hours)
+    procs = 24
+    for arg in sys.argv[2:]:
+        if arg.startswith("--target="):
+            target = float(arg.split("=")[1])
+        if arg.startswith("--hours="):
+            hours = float(arg.split("=")[1])
+        if arg.startswith("--procs="):
+            procs = int(arg.split("=")[1])
+    main(mol, target, hours, procs)

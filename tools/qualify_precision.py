@@ -43,8 +43,13 @@ def main(precisions):
     results = {}
 
     for prec in precisions:
+        # The accuracy gates' RadauQuad+16-VZA quadrature gives N=148 —
+        # beyond the fused kernel's n<=63 lane-packing domain, so "auto"
+        # runs them through the XLA engine at the same precision; the
+        # fused kernel is equivalence-checked against XLA at production
+        # size separately below (pallas_vs_xla_delta).
         kw = dict(dtype=jnp.float32, solver="schulz",
-                  doubling_engine="pallas_step", matmul_precision=prec)
+                  doubling_engine="auto", matmul_precision=prec)
 
         r_trues = np.asarray(json.load(open(f"{DATA}/6sv1_r_trues.json")))
         worst6 = 0.0
@@ -88,12 +93,49 @@ def main(precisions):
         with np.errstate(invalid="ignore"):
             u_err = float(np.nanmax(np.abs(U_t - U_m)[u_mask]
                                     / np.abs(U_t)[u_mask]))
+        # production-size fused-kernel equivalence vs the XLA engine
+        delta = _pallas_vs_xla_delta(prec)
         ok = (worst6 < 0.006 and i_err < 0.002 and q_err < 0.008
               and u_err < 0.008)
         results[prec] = dict(sv6=worst6, natraj_i=i_err, natraj_q=q_err,
-                             natraj_u=u_err, gates_pass=ok)
+                             natraj_u=u_err, pallas_vs_xla_delta=delta,
+                             gates_pass=ok)
         print(json.dumps({"precision": prec, **results[prec]}))
     return results
+
+
+def _pallas_vs_xla_delta(prec, n_spec=512):
+    """Max |pallas_step - xla| of the Fourier-0 radiance field on the
+    production quadrature (N=44), same precision, on this device."""
+    import jax
+    import numpy as np
+    import __graft_entry__ as g
+    from vsmartmom.core.rt import ns_doubling_schedule
+    from vsmartmom.core.rt_run import _fourier_step
+
+    args, static = g._example_inputs(n_spec=n_spec, n_quad_half=8,
+                                     n_stokes=4, n_z=6, dtype=np.float32)
+    tau_scat = float(np.max(args["tau"] * args["omega"]))
+    mqm = float(args["min_qp_mu"])
+    nd = int(np.ceil(np.log2(max(tau_scat / min(tau_scat, 0.004 * mqm),
+                                 1.0))))
+    sched = tuple(ns_doubling_schedule(tau_scat, mqm, nd))
+
+    def run(engine):
+        comp, _ = _fourier_step(
+            *(jax.device_put(args[k]) for k in
+              ("tau", "omega", "zw", "z_pp_c", "z_mp_c", "qp", "wt",
+               "d_vec", "i0_vec")),
+            args["albedo"], None, args["mu0"], args["mu0_node"],
+            args["min_qp_mu"],
+            i_mu0_n=static["i_mu0_n"], n_stokes=static["n_stokes"],
+            is_m0=True, n_spec=n_spec, solver="schulz", ndoubl_static=nd,
+            ns_schedule=sched, doubling_engine=engine,
+            matmul_precision=prec)
+        return np.asarray(comp.j_m)
+    a = run("pallas_step")
+    b = run("xla")
+    return float(np.abs(a - b).max() / np.abs(b).max())
 
 
 if __name__ == "__main__":

@@ -51,6 +51,74 @@ def build_band_inputs(model: RTModel, i_band: int,
     return BandRTInputs(tau=tau_total, omega=omega, zw=zw, greeks=greeks)
 
 
+def band_spec_lim(model: RTModel, bands: Sequence[int]):
+    """Index ranges of each band on the concatenated spectral axis.
+
+    ref: the reference's bandSpecLim bookkeeping (rt_run.jl:66-74,
+    types.jl:665-670). Returns a list of ``slice`` objects.
+    """
+    lims, lo = [], 0
+    for ib in bands:
+        n = len(model.params.spec_bands[ib])
+        lims.append(slice(lo, lo + n))
+        lo += n
+    return lims
+
+
+def concat_band_inputs(model: RTModel, bands: Sequence[int]) -> BandRTInputs:
+    """Concatenate several bands onto ONE spectral axis (single jit).
+
+    ref: the reference's ``*`` band-concatenation operator on
+    CoreScatteringOpticalProperties (types.jl:665-687) + bandSpecLim.
+    Aerosol optics are wavelength-dependent, so each band contributes its
+    own Z components; the mixing-weight rows are zero outside the band's
+    spectral range, which keeps the on-device Z assembly exact.
+    """
+    parts = [build_band_inputs(model, ib) for ib in bands]
+    n_z = parts[0].tau.shape[0]
+    n_specs = [p.tau.shape[1] for p in parts]
+    n_tot = sum(n_specs)
+
+    tau = np.concatenate([p.tau for p in parts], axis=1)
+    omega = np.concatenate([p.omega for p in parts], axis=1)
+
+    # shared Rayleigh row + per-band aerosol component rows
+    greeks = [parts[0].greeks[0]]
+    k_tot = 1 + sum(len(p.greeks) - 1 for p in parts)
+    zw = np.zeros((n_z, k_tot, n_tot))
+    k = 1
+    lo = 0
+    for p, n_s in zip(parts, n_specs):
+        zw[:, 0, lo:lo + n_s] = p.zw[:, 0, :]
+        n_aer = len(p.greeks) - 1
+        zw[:, k:k + n_aer, lo:lo + n_s] = p.zw[:, 1:, :]
+        greeks.extend(p.greeks[1:])
+        k += n_aer
+        lo += n_s
+    return BandRTInputs(tau=tau, omega=omega, zw=zw, greeks=greeks)
+
+
+def _concat_lambertian_surface(model: RTModel, bands: Sequence[int]):
+    """Merge per-band Lambertian surfaces into one spectral-albedo vector
+    on the concatenated axis (None if any band needs a BRDF surface)."""
+    from vsmartmom.core.brdf import legendre_spectral_albedo
+    chunks = []
+    for ib in bands:
+        surfaces = model.params.surfaces
+        s = surfaces[min(ib, len(surfaces) - 1)]
+        n_s = len(model.params.spec_bands[ib])
+        if s["type"] == "LambertianSurfaceScalar":
+            chunks.append(np.full(n_s, float(s["albedo"])))
+        elif s["type"] == "LambertianSurfaceSpectrum":
+            chunks.append(np.asarray(s["albedo"], np.float64))
+        elif s["type"] == "LambertianSurfaceLegendre":
+            chunks.append(legendre_spectral_albedo(s["legendre_coeff"], n_s))
+        else:
+            return None
+    return {"type": "LambertianSurfaceSpectrum",
+            "albedo": np.concatenate(chunks)}
+
+
 def rt_run(model: RTModel, i_band: Union[int, Sequence[int]] = 0,
            dtype=None, rs_type=None):
     """Run the forward RT simulation for the given band(s).
@@ -73,6 +141,19 @@ def rt_run(model: RTModel, i_band: Union[int, Sequence[int]] = 0,
         dtype = jnp.float32 if model.params.float_type == "Float32" else jnp.float64
     bands = [i_band] if isinstance(i_band, int) else list(i_band)
     elastic_only = rs_type is None or rs_type == "noRS"
+
+    # Elastic multi-band: concatenate bands onto ONE spectral axis so the
+    # layer scan jits once and batches across bands (ref: rt_run.jl:66-74
+    # bandSpecLim; types.jl:665-687 optical-property concatenation).
+    # Falls back to per-band runs when a band needs a BRDF surface.
+    if elastic_only and len(bands) > 1:
+        surface = _concat_lambertian_surface(model, bands)
+        if surface is not None:
+            band = concat_band_inputs(model, bands)
+            return rt_run_band(
+                model.pol, model.quad_points, band, model.obs_geom.vza,
+                model.obs_geom.vaz, model.params.max_m, surface, dtype=dtype)
+
     outs = []
     for ib in bands:
         # reuse the last surface when fewer are given than bands

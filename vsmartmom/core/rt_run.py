@@ -241,9 +241,13 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                     ns_schedule = ns_doubling_schedule(
                         float(tau_scat.max()), min_qp_mu, ndoubl_static)
     if doubling_engine == "auto":
+        # The fused kernel's lane packing (2n+2 rhs columns in one 128-lane
+        # MXU pass) requires n <= 63; beyond that Mosaic compilation of the
+        # multi-tile packs degenerates (observed: N=148 never finishes).
         doubling_engine = ("pallas_step" if (jax.default_backend() != "cpu"
                                              and ns_schedule is not None
-                                             and dtype == jnp.float32)
+                                             and dtype == jnp.float32
+                                             and n <= 63)
                            else "xla")
 
     to_dev = lambda x: jnp.asarray(x, dtype)
