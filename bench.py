@@ -1,14 +1,26 @@
-"""Headline benchmark: spectral-points/s/chip for a full polarized rt_run.
+"""Headline TPU benchmark + secondary metrics.
 
-Runs the complete Fourier-moment RT pipeline (3 moments x layer scan with
-elemental/doubling/interaction + surface) on an O2 A-band-like atmosphere:
-20 000 spectral points, 16-stream IQUV quadrature (N = 4*Nquad), 10 layers
-with mixed scattering/absorption — mirroring the reference GPU harness shape
-(ref: test/gpu_tests/gpu_cpu_tests.jl: Float32, n=32, nSpec=20000).
+Headline (the JSON "value"): spectral-points/s/chip for a full polarized
+rt_run on the synthetic 20k-point IQUV harness (shape mirrors the
+reference GPU harness, ref: test/gpu_tests/gpu_cpu_tests.jl: Float32,
+n=32, nSpec=20000; kept identical across rounds so vs_baseline tracks).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is vs the self-measured round-1 number recorded below (the
-reference publishes no performance numbers; BASELINE.md).
+extras (BASELINE.md targets):
+  flagship_o2_aband_pts_per_s — the real end-to-end default pipeline:
+      default_parameters (34-layer atmosphere, O2 A band, 22669 points,
+      aerosol + Rayleigh + HITRAN-style line list) -> model build with the
+      Pallas Voigt kernel -> 3-moment rt_run, fused Pallas layer steps.
+  flagship_rt_pts_per_s       — rt_run-only rate on the flagship model.
+  voigt_lineval_per_s         — Voigt kernel line-point evaluations/s
+      (lines x in-window grid points, the reference's per-line-kernel
+      axis, ref: compute_absorption_cross_section.jl:117-125).
+  doubling_tflops / doubling_roofline_frac — measured f32 FLOP rate of
+      the fused layer-step kernel against the chip's f32-highest MXU peak
+      (bf16 peak / 6 passes).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+vs_baseline is vs the self-measured round-1 number (the reference
+publishes no performance numbers; BASELINE.md).
 """
 import json
 import sys
@@ -19,18 +31,21 @@ import numpy as np
 # Self-measured round-1 baseline (spectral-points/s, 1 TPU v5e chip,
 # Newton-Schulz solver, highest matmul precision).
 ROUND1_BASELINE = 1463.6
+# TPU v5e: 197 bf16 TFLOP/s MXU peak; f32 at Precision.HIGHEST uses the
+# 6-pass bf16 decomposition -> effective f32 peak ~32.8 TFLOP/s.
+F32_PEAK_TFLOPS = 197.0 / 6.0
 
 
-def main():
+def headline():
     import jax
     import __graft_entry__ as g
+    from vsmartmom.core.rt import ns_doubling_schedule
+    from vsmartmom.core.rt_run import _fourier_step
 
     dtype = np.float32
     n_spec = 20_000
     args, static = g._example_inputs(n_spec=n_spec, n_quad_half=8,
                                      n_stokes=4, n_z=10, dtype=dtype)
-    from vsmartmom.core.rt_run import _fourier_step
-
     a = {k: jax.device_put(v) for k, v in args.items()
          if isinstance(v, np.ndarray)}
 
@@ -40,7 +55,6 @@ def main():
     mqm = float(args["min_qp_mu"])
     dmax = min(tau_scat, 0.004 * mqm)
     nd = int(np.ceil(np.log2(max(tau_scat / dmax, 1.0))))
-    from vsmartmom.core.rt import ns_doubling_schedule
     sched = ns_doubling_schedule(tau_scat, mqm, nd)
 
     def run(is_m0):
@@ -60,10 +74,8 @@ def main():
     def sync(x):
         return float(x.sum())
 
-    # Warm-up / compile both Fourier variants (m=0 and m>0)
     sync(run(True))
     sync(run(False))
-
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
@@ -72,15 +84,114 @@ def main():
         out2 = run(False)
     sync(out0 + out1 + out2)
     dt = (time.perf_counter() - t0) / n_rep
+    pts = n_spec / dt
 
-    pts_per_s = n_spec / dt
-    vs = 1.0 if ROUND1_BASELINE is None else pts_per_s / ROUND1_BASELINE
+    # analytic FLOP count of the fused layer step (doubling + interaction),
+    # N=44 here: per doubling step 2N^3(6+2it); interaction ~2N^3*30
+    n = int(args["qp"].shape[0])
+    dbl = sum(6 + 2 * it for it in sched)
+    inter = 2 * (1 + (n + 1) / n + 2 * 4 + 2 * (2 * n + 1) / n)
+    flop_pt = 2 * n**3 * (dbl + inter) * 10 * 3       # 10 layers, 3 moments
+    tflops = flop_pt * pts / 1e12
+    return pts, tflops
+
+
+def flagship():
+    """End-to-end default O2 A-band pipeline on the TPU."""
+    import jax.numpy as jnp
+    from vsmartmom import default_parameters, model_from_parameters, rt_run
+
+    t0 = time.perf_counter()
+    params = default_parameters()
+    params.float_type = "Float32"
+    model = model_from_parameters(params)      # absorption: Pallas Voigt
+    t_setup = time.perf_counter() - t0
+    n_spec = model.tau_abs[0].shape[0]
+    n_lines = _count_o2_lines(params)
+
+    # Voigt kernel line-eval rate: re-run the per-layer xsec loop alone
+    from vsmartmom.spectroscopy.profiles import compute_absorption_profile
+    tau = np.zeros((n_spec, model.profile.n_layers))
+    t0 = time.perf_counter()
+    compute_absorption_profile(tau, "O2", params.absorption_params,
+                               np.asarray(params.spec_bands[0], np.float64),
+                               0.21, model.profile, engine="pallas")
+    t_voigt = time.perf_counter() - t0
+    voigt_rate = _voigt_kernel_rate()
+
+    t0 = time.perf_counter()
+    R, T = rt_run(model, dtype=jnp.float32)
+    t_rt1 = time.perf_counter() - t0           # includes jit compile
+    t0 = time.perf_counter()
+    R, T = rt_run(model, dtype=jnp.float32)
+    t_rt = time.perf_counter() - t0
+    assert np.isfinite(R).all()
+    return dict(
+        flagship_n_spec=n_spec,
+        flagship_setup_s=round(t_setup, 2),
+        flagship_rt_pts_per_s=round(n_spec / t_rt, 1),
+        flagship_o2_aband_pts_per_s=round(n_spec / (t_rt + t_voigt), 1),
+        flagship_compile_s=round(t_rt1 - t_rt, 2),
+        voigt_lineval_per_s=round(voigt_rate, 0))
+
+
+def _voigt_kernel_rate():
+    """Saturated Voigt-kernel throughput: line-point evaluations/s on a
+    dense case (the 2600-line CO2 HAPI band, 40001-point grid — the O2 A
+    band's ~100 lines are launch-overhead-dominated and undersell it)."""
+    import os
+    from vsmartmom.spectroscopy.hitran import read_linelist_npz
+    from vsmartmom.spectroscopy.voigt import (line_parameters,
+                                              make_hitran_model,
+                                              make_voigt_plan)
+    npz = os.path.join(os.path.dirname(__file__), "data", "fit_state",
+                       "CO2_fit.npz")
+    if not os.path.exists(npz):
+        return None
+    ht = read_linelist_npz(npz, 2)
+    model = make_hitran_model(ht, "Voigt")
+    grid = 6000.0 + 0.01 * np.arange(40001)
+    plan = make_voigt_plan(model, grid)
+    pars = line_parameters(model, 750.0, 296.0)
+    plan.run(*pars)                                     # compile/warm
+    n_rep = 10
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = plan.run(*line_parameters(model, 700.0 + 10 * i, 280.0))
+    float(np.asarray(out).sum())
+    dt = (time.perf_counter() - t0) / n_rep
+    evals = len(ht.nu) * (2 * model.wing_cutoff / 0.01)
+    return round(evals / dt, 0)
+
+
+def _count_o2_lines(params):
+    from vsmartmom.spectroscopy.hitran import read_hitran
+    from vsmartmom.spectroscopy.profiles import hitran_artifact
+    grid = params.spec_bands[0]
+    w = params.absorption_params.wing_cutoff
+    ht = read_hitran(hitran_artifact("O2"), iso=1,
+                     nu_min=float(grid.min()) - w,
+                     nu_max=float(grid.max()) + w)
+    return len(ht.nu)
+
+
+def main():
+    pts, tflops = headline()
+    extras = dict(doubling_tflops=round(tflops, 2),
+                  doubling_roofline_frac=round(tflops / F32_PEAK_TFLOPS, 4))
+    try:
+        extras.update(flagship())
+    except Exception as e:                     # noqa: BLE001
+        extras["flagship_error"] = f"{type(e).__name__}: {e}"
+
+    vs = pts / ROUND1_BASELINE
     print(json.dumps({
         "metric": "rt_run_spectral_points_per_s",
-        "value": round(pts_per_s, 1),
-        "unit": f"spectral-points/s/chip (full 3-moment polarized rt_run, "
-                f"nSpec=20000, IQUV, N={args['qp'].shape[0]}, 10 layers)",
-        "vs_baseline": round(vs, 3)}))
+        "value": round(pts, 1),
+        "unit": "spectral-points/s/chip (full 3-moment polarized rt_run, "
+                "nSpec=20000, IQUV, N=44, 10 layers)",
+        "vs_baseline": round(vs, 3),
+        "extras": extras}))
 
 
 if __name__ == "__main__":

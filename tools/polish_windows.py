@@ -246,6 +246,14 @@ def main(molecule, target, hours, procs, outer=8):
         if g_res < target or not wins or time.time() > t_end:
             break
 
+        # worst windows first: a time-bounded partial round still lowers
+        # the global max residual
+        def win_peak(w):
+            lo = np.searchsorted(GRID, w[0])
+            hi = np.searchsorted(GRID, w[1], side="right")
+            return -float(np.abs(Y[:, lo:hi] - M[:, lo:hi]).max())
+        wins.sort(key=win_peak)
+
         tasks = []
         nu_all = ls.theta[:, 0]
         for (a, b) in wins:
@@ -262,8 +270,25 @@ def main(molecule, target, hours, procs, outer=8):
             tasks.append(((a, b), ls.theta[idx_all], idx_all, data, g,
                           conds, target, molecule))
 
-        with Pool(procs) as pool:
-            results = pool.map(_work, tasks, chunksize=1)
+        if procs == 1:
+            # serial mode (CPU-quota-bound hosts): checkpoint as we go and
+            # respect the wall-clock budget mid-round
+            results = []
+            for ti, task in enumerate(tasks):
+                results.append(_work(task))
+                if ti % 5 == 4:
+                    for (_a, _b), _w, ui, ut, ad in results[-5:]:
+                        ls.theta[ui] = ut
+                    ls.save(path)
+                    print(f"[{molecule}]   {ti + 1}/{len(tasks)} windows "
+                          f"(worst-first), wres={results[-1][1]:.2e}",
+                          flush=True)
+                if time.time() > t_end:
+                    print(f"[{molecule}] time budget inside round", flush=True)
+                    break
+        else:
+            with Pool(procs) as pool:
+                results = pool.map(_work, tasks, chunksize=1)
 
         n_over = 0
         new_rows = []

@@ -111,6 +111,12 @@ def model_from_parameters(params: RTParameters) -> RTModel:
                 tau_aer[i_band][i_aer, :] = (
                     aero.tau_ref * (optics.k / k_ref) * vert)
 
+        # AOD report (ref: model_from_parameters.jl:164 @info)
+        from vsmartmom.util.logging import aod_report
+        for i_band in range(n_bands):
+            aod_report([f"aerosol[{i}]" for i in range(n_aer)],
+                       tau_aer[i_band], band_label=f"band {i_band}")
+
     return RTModel(params=params, aerosol_optics=aerosol_optics,
                    greek_rayleigh=greek_rayleigh, quad_points=quad_points,
                    tau_abs=tau_abs, tau_rayl=tau_rayl, tau_aer=tau_aer,

@@ -167,6 +167,18 @@ def doubling_number(dtau_max, tau_end):
 
 # --- elemental single-scattering layer --------------------------------------
 
+def exp_small(x):
+    """e^x for the tiny per-step arguments of the elemental layer.
+
+    TPU f32 jnp.exp rounds to ~2e-6 relative; the doubling recursion
+    compounds that error 2^ndoubl-fold (~1% at ndoubl=13, grazing mu).
+    1 + expm1(x) is correctly rounded near zero (absolute error ~1e-9) and
+    algebraically identical. Large-argument exponentials (tau_sum
+    attenuation) keep plain exp.
+    """
+    return 1.0 + jnp.expm1(x)
+
+
 def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
               i0_vec, i_mu0_n, n_stokes, mu0_node):
     """Single-scattering initialization of an elemental layer.
@@ -187,7 +199,7 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
     eye = jnp.eye(qp.shape[0], dtype=bool)
     col_mask = wct2 > 1e-8
 
-    exp_i = jnp.exp(-dtau[:, None, None] / mu_i)     # (nSpec, N, 1)->bcast
+    exp_i = exp_small(-dtau[:, None, None] / mu_i)     # (nSpec, N, 1)->bcast
 
     # R^-+(mu_i, mu_j) = w Z^-+ (mu_j/(mu_i+mu_j)) w_j (1 - e^{-dt(1/mu_i+1/mu_j)})
     # expm1 keeps full precision for the tiny dtau of elemental layers
@@ -201,8 +213,12 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
     # T^++ off-diagonal (mu_i != mu_j):
     # e^{-dt/mu_i} - e^{-dt/mu_j} = e^{-dt/mu_j} expm1(dt/mu_j - dt/mu_i)
     denom = jnp.where(same_mu, 1.0, mu_i - mu_j)
-    exp_diff = (jnp.exp(-dt / mu_j)
-                * jnp.expm1(dt / mu_j - dt / mu_i))
+    # expm1 argument as ONE subtraction of exact node values: computing
+    # dt/mu_j - dt/mu_i from two rounded quotients cancels catastrophically
+    # for adjacent nodes on TPU f32 (approximate division) — dt (mu_i -
+    # mu_j)/(mu_i mu_j) is algebraically identical and rounds once.
+    exp_diff = (exp_small(-dt / mu_j)
+                * jnp.expm1(dt * (mu_i - mu_j) / (mu_i * mu_j)))
     t_off = om * z_pp * (mu_j / denom) * wct2[None, None, :] * exp_diff
     t_pp = jnp.where(same_mu[None, :, :],
                      jnp.where(eye[None, :, :], t_diag, 0.0),
@@ -222,13 +238,19 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
 
     mu_iv = qp[None, :]
     dt_v = dtau[:, None]
-    exp_iv = jnp.exp(-dt_v / mu_iv)
-    denom0 = jnp.where(in_block[None, :], 1.0, mu_iv - mu0_node)
-    # e^{-dt/mu_i} - e^{-dt/mu_0} via expm1 (cancellation-safe, see above)
-    exp_diff0 = (jnp.exp(-dt_v / mu0_node)
-                 * jnp.expm1(dt_v / mu0_node - dt_v / mu_iv))
+    exp_iv = exp_small(-dt_v / mu_iv)
+    # degenerate limit applies to the solar block AND any node whose mu
+    # coincides with mu0 (e.g. vza=0 with sza~0 collapses to the same f32
+    # value — the mu_i - mu0 division would produce inf * 0 = NaN)
+    same0 = in_block[None, :] | (mu_iv == mu0_node)
+    denom0 = jnp.where(same0, 1.0, mu_iv - mu0_node)
+    # e^{-dt/mu_i} - e^{-dt/mu_0} via expm1 (cancellation-safe, and the
+    # argument as one subtraction — see exp_diff above)
+    exp_diff0 = (exp_small(-dt_v / mu0_node)
+                 * jnp.expm1(dt_v * (mu_iv - mu0_node)
+                             / (mu_iv * mu0_node)))
     j_p = jnp.where(
-        in_block[None, :],
+        same0,
         (dt_v / mu_iv) * exp_iv,
         (mu0_node / denom0) * exp_diff0)
     j_p = wct02 * omega[:, None] * z_pp_i0 * j_p
@@ -315,7 +337,7 @@ def elemental_flipped(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
         ndoubl = doubling_number(dtau_max, tau_scat_max)
         scale = 2.0 ** ndoubl.astype(tau.dtype)
     dtau = tau / scale
-    expk = jnp.exp(-dtau / mu0)
+    expk = exp_small(-dtau / mu0)
 
     r_mp, t_pp, j_p, j_m = elemental(
         dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,

@@ -250,6 +250,11 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                                              and n <= 63)
                            else "xla")
 
+    # run banner (ref: rt_run.jl:99-106 @info)
+    from vsmartmom.util.logging import run_banner
+    run_banner(pol, quad, n_spec, band.tau.shape[0], max_m, surface,
+               doubling_engine, solver, dtype)
+
     to_dev = lambda x: jnp.asarray(x, dtype)
     comps = []
     for m in range(max_m):

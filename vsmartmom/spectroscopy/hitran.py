@@ -121,3 +121,45 @@ def read_hitran(filepath: str, mol: int = -1, iso: int = -1,
         ierr=arr["ierr"], iref=arr["iref"],
         line_mixing_flag=arr["line_mixing_flag"],
         gp=arr["gp"], gpp=arr["gpp"])
+
+
+def hitran_table_from_arrays(mol: int, iso: int, nu, sw, elower, gamma_air,
+                             n_air, delta_air,
+                             gamma_self=None) -> "HitranTable":
+    """Build a HitranTable from bare line-parameter arrays.
+
+    Used for full-precision binary line lists (npz) — the fixed-width .par
+    format quantizes gamma to 4 decimals and S to 4 significant digits,
+    which matters when a list is *reconstructed by fitting* rather than
+    measured (tools/fit_linelist.py): single-condition fits land between
+    the .par lattice points. ref: the reference only reads .par
+    (read_hitran.jl); binary tables are this framework's extension.
+    """
+    n = len(nu)
+    z = np.zeros(n)
+    blank = [""] * n
+    return HitranTable(
+        mol=np.full(n, mol, dtype=np.int64),
+        iso=np.full(n, iso, dtype=np.int64),
+        nu=np.asarray(nu, np.float64), sw=np.asarray(sw, np.float64),
+        a=z.copy(),
+        gamma_air=np.asarray(gamma_air, np.float64),
+        gamma_self=np.asarray(gamma_self if gamma_self is not None
+                              else gamma_air, np.float64),
+        elower=np.asarray(elower, np.float64),
+        n_air=np.asarray(n_air, np.float64),
+        delta_air=np.asarray(delta_air, np.float64),
+        global_upper_quanta=blank, global_lower_quanta=blank,
+        local_upper_quanta=blank, local_lower_quanta=blank,
+        ierr=blank, iref=blank, line_mixing_flag=blank,
+        gp=z.copy(), gpp=z.copy())
+
+
+def read_linelist_npz(path: str, mol: int, iso: int = 1) -> "HitranTable":
+    """Load a full-precision npz line list (theta = (n, 6) array of
+    [nu0, ln S296, E'', ln gamma_air, n_air, delta_air])."""
+    th = np.load(path)["theta"]
+    th = th[np.argsort(th[:, 0])]
+    return hitran_table_from_arrays(
+        mol, iso, th[:, 0], np.exp(th[:, 1]), th[:, 2], np.exp(th[:, 3]),
+        th[:, 4], th[:, 5])

@@ -49,10 +49,15 @@ def hitran_artifact(molecule: str) -> str:
 
 def compute_absorption_profile(tau_abs: np.ndarray, molecule: str,
                                absorption_params, grid, vmr, profile,
-                               lut_path: Optional[str] = None):
+                               lut_path: Optional[str] = None,
+                               engine: str = "auto"):
     """Accumulate tau_abs[nu, iz] += sigma(nu; p_iz, T_iz) * vcd_dry * vmr.
 
     ref: atmo_prof.jl:427-449. Mutates tau_abs (nSpec, nZ) in place.
+
+    engine: 'dense' (f64 chunk sweep — the HAPI-gate numerics), 'pallas'
+    (f32 TPU tile kernel, one tiling plan cached across the layer loop),
+    or 'auto' (pallas on accelerators, dense on CPU).
     """
     n_z = profile.n_layers
     assert tau_abs.shape[1] == n_z
@@ -84,8 +89,18 @@ def compute_absorption_profile(tau_abs: np.ndarray, molecule: str,
         model = make_hitran_model(ht, absorption_params.broadening,
                                   wing_cutoff=absorption_params.wing_cutoff,
                                   cef=absorption_params.cef, vmr=0.0)
-        xsec = lambda p, t: np.asarray(
-            compute_absorption_cross_section(model, grid, p, t))
+        if engine == "auto":
+            import jax
+            engine = ("dense" if jax.default_backend() == "cpu"
+                      else "pallas")
+        if engine == "pallas":
+            from vsmartmom.spectroscopy.voigt import make_voigt_plan
+            plan = make_voigt_plan(model, grid)
+            xsec = lambda p, t: np.asarray(compute_absorption_cross_section(
+                model, grid, p, t, engine="pallas", plan=plan))
+        else:
+            xsec = lambda p, t: np.asarray(
+                compute_absorption_cross_section(model, grid, p, t))
 
     for iz in range(n_z):
         sigma = xsec(float(profile.p_full[iz]), float(profile.T[iz]))
