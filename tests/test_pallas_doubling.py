@@ -130,3 +130,31 @@ def test_rt_run_band_pallas_scan_engine_matches_xla():
                            doubling_engine="pallas_scan_interpret", **kw)
     np.testing.assert_allclose(R_p, R_x, rtol=5e-6, atol=1e-9)
     np.testing.assert_allclose(T_p, T_x, rtol=5e-6, atol=1e-9)
+
+
+def test_fused_layer_step_per_layer_schedules():
+    """Per-layer static (ndoubl, NS-schedule) path (engaged for real
+    profiles whose doubling counts spread widely, e.g. the 34-layer
+    flagship): fused interpret-mode kernels == f64 XLA reference."""
+    import jax.numpy as jnp
+    from vsmartmom.core.rt_run import BandRTInputs, rt_run_band
+    from vsmartmom.scattering.phase import Polarization, get_greek_rayleigh
+    from vsmartmom.util.quadrature import rt_set_streams
+
+    pol = Polarization.from_name("Stokes_IQU")
+    quad = rt_set_streams("GaussQuadFullSphere", 10, 45.0, [0.0, 30.0],
+                          pol.n)
+    rng = np.random.default_rng(0)
+    n_z, n_spec = 6, 8
+    tau_scat = (np.array([1e-4, 1e-3, 0.01, 0.05, 0.3, 1.0])[:, None]
+                * np.ones((1, n_spec)))
+    tau = tau_scat + rng.uniform(0, 0.3, (n_z, n_spec))
+    band = BandRTInputs(tau=tau, omega=tau_scat / tau,
+                        zw=np.ones((n_z, 1, n_spec)),
+                        greeks=[get_greek_rayleigh(0.028)])
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.2}
+    R64, _ = rt_run_band(pol, quad, band, [0.0, 30.0], [0.0, 90.0], 3, surf)
+    R32, _ = rt_run_band(pol, quad, band, [0.0, 30.0], [0.0, 90.0], 3, surf,
+                         dtype=jnp.float32, solver="schulz",
+                         doubling_engine="pallas_step_interpret")
+    assert np.abs(R32 - R64).max() / np.abs(R64).max() < 5e-4

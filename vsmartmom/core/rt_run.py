@@ -51,13 +51,14 @@ class BandRTInputs:
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
                                    "solver", "ndoubl_static",
                                    "ns_schedule", "doubling_engine",
-                                   "matmul_precision"))
+                                   "matmul_precision", "layer_schedules"))
 def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                   albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                   rho_brdf=None,
                   *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
                   ndoubl_static=None, ns_schedule=None,
-                  doubling_engine="xla", matmul_precision="highest"):
+                  doubling_engine="xla", matmul_precision="highest",
+                  layer_schedules=None):
     """One Fourier moment: layer scan + surface. Returns composite layer."""
     # The doubling recursion amplifies rounding over ~10 iterations/layer:
     # never let the TPU default drop matmul inputs to 1-pass bf16.
@@ -71,7 +72,8 @@ def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             n_stokes=n_stokes, is_m0=is_m0, n_spec=n_spec, solver=solver,
             ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
             doubling_engine=doubling_engine,
-            matmul_precision=matmul_precision)
+            matmul_precision=matmul_precision,
+            layer_schedules=layer_schedules)
 
 
 def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
@@ -79,7 +81,8 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                        rho_brdf=None,
                        *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
                        ndoubl_static=None, ns_schedule=None,
-                       doubling_engine="xla", matmul_precision="highest"):
+                       doubling_engine="xla", matmul_precision="highest",
+                       layer_schedules=None):
     rsolve = make_rsolve(solver)
     dtype = tau.dtype
     n = qp.shape[0]
@@ -92,6 +95,43 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
         [jnp.zeros((1, tau.shape[1]), dtype), jnp.cumsum(tau, axis=0)], axis=0)
 
     if (doubling_engine in ("pallas_step", "pallas_step_interpret")
+            and layer_schedules is not None):
+        # Per-layer static (ndoubl, NS-schedule). Consecutive layers with
+        # the same schedule are bucketed into one lax.scan, so the program
+        # holds one fused-kernel (Mosaic) instance per DISTINCT schedule
+        # run — a 34-layer profile compiles ~6 kernels, not 34.
+        from vsmartmom.core.rt import elemental_flipped
+        from vsmartmom.pallas.layer_step_kernel import fused_layer_step
+        interp = doubling_engine == "pallas_step_interpret"
+
+        buckets = []          # (nd, sched, start, count)
+        for iz, (nd_z, sched_z) in enumerate(layer_schedules):
+            if buckets and buckets[-1][0] == nd_z \
+                    and buckets[-1][1] == tuple(sched_z):
+                buckets[-1] = buckets[-1][:3] + (buckets[-1][3] + 1,)
+            else:
+                buckets.append((nd_z, tuple(sched_z), iz, 1))
+
+        comp = vacuum_layer(n_spec, n, dtype)
+        for nd_z, sched_z, start, count in buckets:
+            def scan_body(carry, inputs, _nd=nd_z, _sched=sched_z):
+                tau_z, omega_z, zw_z, tau_sum_z = inputs
+                z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
+                z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
+                r_f, t, jp, jm_f, ek, _ = elemental_flipped(
+                    tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2,
+                    wct02, i0_vec, i_mu0_n, n_stokes, mu0_node, mu0,
+                    d_vec, min_qp_mu, ndoubl_static=_nd)
+                new = fused_layer_step(
+                    carry, r_f, t, jp, jm_f, ek, d_vec,
+                    ns_schedule=_sched, ni=4, interpret=interp,
+                    precision_name=matmul_precision)
+                return new, None
+            sl = slice(start, start + count)
+            comp, _ = jax.lax.scan(
+                scan_body, comp,
+                (tau[sl], omega[sl], zw[sl], tau_sum_all[sl]))
+    elif (doubling_engine in ("pallas_step", "pallas_step_interpret")
             and ndoubl_static is not None and ns_schedule is not None):
         # doubling + interaction fused per layer in one VMEM-resident
         # Pallas kernel; elemental stays XLA (elementwise, fuses fine)
@@ -227,6 +267,7 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     # spread the per-layer traced count does less total work.
     ndoubl_static = None
     ns_schedule = None
+    layer_schedules = None
     if isinstance(band.tau, np.ndarray) and isinstance(band.omega,
                                                        np.ndarray):
         tau_scat = np.max(band.tau * band.omega, axis=1)
@@ -240,12 +281,27 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                     from vsmartmom.core.rt import ns_doubling_schedule
                     ns_schedule = ns_doubling_schedule(
                         float(tau_scat.max()), min_qp_mu, ndoubl_static)
+            elif solver == "schulz":
+                # widely-spread per-layer doubling counts (real profiles:
+                # thin stratosphere above thick low layers): per-layer
+                # static (ndoubl, NS-schedule). Schedules are derived from
+                # the QUANTIZED bound dmax * 2^nd so layers sharing nd
+                # share one fused-kernel compile.
+                from vsmartmom.core.rt import ns_doubling_schedule
+                nd_all = np.zeros(len(tau_scat), dtype=int)
+                nd_all[pos] = nd.astype(int)
+                dm = 0.004 * min_qp_mu
+                layer_schedules = tuple(
+                    (int(k), ns_doubling_schedule(dm * 2.0 ** int(k),
+                                                  min_qp_mu, int(k)))
+                    for k in nd_all)
     if doubling_engine == "auto":
         # The fused kernel's lane packing (2n+2 rhs columns in one 128-lane
         # MXU pass) requires n <= 63; beyond that Mosaic compilation of the
         # multi-tile packs degenerates (observed: N=148 never finishes).
+        usable = (ns_schedule is not None or layer_schedules is not None)
         doubling_engine = ("pallas_step" if (jax.default_backend() != "cpu"
-                                             and ns_schedule is not None
+                                             and usable
                                              and dtype == jnp.float32
                                              and n <= 63)
                            else "xla")
@@ -286,7 +342,8 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 n_spec=n_spec, solver=solver,
                 ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
                 doubling_engine=doubling_engine,
-                matmul_precision=matmul_precision)
+                matmul_precision=matmul_precision,
+                layer_schedules=layer_schedules)
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 
