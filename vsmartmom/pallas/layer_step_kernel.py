@@ -13,6 +13,18 @@ interaction (same scheme as the doubling kernel: every right-hand operand
 sharing a left matrix rides one MXU pass) cuts per-layer HBM traffic to
 one read of the composite + elemental and one write of the composite.
 
+MXU point packing: the RT matrices are N x N with N = 15..63 while the
+MXU processes 128x128 tiles — a per-point batched matmul wastes
+(1 - N/128)^2 of the array AND amortizes the stationary-operand load over
+only N rows. ``pack_points`` = p packs p spectral points into one
+BLOCK-DIAGONAL (pN x pN) matrix: products/sums/Newton-Schulz solves of
+block-diagonal matrices are the block-wise ones (the packed identity IS
+the pN identity), so every dot product equals its unpacked counterpart
+EXACTLY (the extra terms are additions of 0.0). Packing runs in XLA
+outside the kernel (Mosaic has no lowering for the scatter/concat
+patterns needed in-kernel); the extra HBM traffic is far below the
+bandwidth headroom of this compute-bound kernel.
+
 The added layer produced by doubling is D-symmetric (r_pm = sgn * r_mp,
 t_mm = sgn * t_pp with sgn = d d^T), so only r_mp/t_pp are ever formed;
 the composite is not D-symmetric (layers differ) and carries all six
@@ -54,6 +66,8 @@ def _layer_step_kernel(cr_mp_ref, cr_pm_ref, ct_pp_ref, ct_mm_ref,
     mm = batch_mm(precision)
 
     # --- 1. doubling of the elemental layer (flipped space) ---
+    # ek_ref is (S, 1) unpacked or (S/p, pN) point-packed; both broadcast
+    # elementwise against the source vectors.
     r_f, t2, jp2, jm_f = doubling_body(
         mm, r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:], ns_schedule)
 
@@ -94,19 +108,62 @@ def _layer_step_kernel(cr_mp_ref, cr_pm_ref, ct_pp_ref, ct_mm_ref,
     ojp[:] = jp2 + o2[..., 2 * n]
 
 
+# --- XLA-side block-diagonal point packing ----------------------------------
+
+def blockdiag_pack(x, p):
+    """(s, n, n) -> block-diagonal (s/p, pn, pn) (XLA ops, outside Mosaic)."""
+    if p == 1:
+        return x
+    s, n, _ = x.shape
+    xr = x.reshape(s // p, p, n, n)
+    out = jnp.zeros((s // p, p * n, p * n), x.dtype)
+    for j in range(p):
+        out = jax.lax.dynamic_update_slice(out, xr[:, j], (0, j * n, j * n))
+    return out
+
+
+def blockdiag_unpack(x, p, n):
+    """Inverse of blockdiag_pack: extract the p diagonal blocks."""
+    if p == 1:
+        return x
+    blocks = [x[:, j * n:(j + 1) * n, j * n:(j + 1) * n] for j in range(p)]
+    return jnp.stack(blocks, axis=1).reshape(-1, n, n)
+
+
+def _auto_pack(n: int, block_s: int) -> int:
+    """Largest point-packing factor: p*N capped via VSM_PACK_LIMIT.
+    Default 0 (packing off): measured end-to-end on TPU v5e, the XLA-side
+    block-diagonal pack/unpack (sublane-misaligned scatters) costs more
+    than the kernel gains at N = 12-15 — opt in per-call or via env once
+    the scan-level packed-state design lands."""
+    import os
+    limit = int(os.environ.get("VSM_PACK_LIMIT", "0"))
+    for p in (8, 4, 2):
+        if p * n <= limit and block_s % p == 0:
+            return p
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("ns_schedule", "ni", "block_s",
-                                             "interpret", "precision_name"))
+                                             "interpret", "precision_name",
+                                             "pack_points"))
 def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
                      ns_schedule: tuple, ni: int = 4, block_s: int = 16,
                      interpret: bool = False,
-                     precision_name: str = "highest"):
+                     precision_name: str = "highest",
+                     pack_points: int | None = None):
     """One RT layer step: double the elemental (flipped-space) layer and
     compose it under the composite. comp is a LayerRT pytree; r_f/t:
     (nSpec, N, N); jp/jm_f: (nSpec, N); ek: (nSpec,); d_vec: (N,).
+    ``pack_points``: block-diagonal MXU packing factor (None = auto).
     Returns the new composite LayerRT."""
     from vsmartmom.core.rt import LayerRT
 
     n_spec, n, _ = r_f.shape
+    pack = _auto_pack(n, block_s) if pack_points is None else pack_points
+    # packed vector blocks are (block_s/pack, pack*n): Mosaic needs the
+    # sublane dim divisible by 8
+    block_s = max(block_s, 8 * pack)
     pad = (-n_spec) % block_s
     mats = [comp.r_mp, comp.r_pm, comp.t_pp, comp.t_mm]
     vecs = [comp.j_p, comp.j_m]
@@ -129,17 +186,33 @@ def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
     precision = {"highest": lax.Precision.HIGHEST,
                  "high": "bf16x3",       # Mosaic can't lower HIGH; see batch_mm
                  "default": lax.Precision.DEFAULT}[precision_name]
-    ek2 = ek.reshape(n_pad, 1)
-    d2 = jnp.asarray(d_vec, r_f.dtype).reshape(1, n)
 
-    grid = (n_pad // block_s,)
-    mat_spec = pl.BlockSpec((block_s, n, n), lambda i: (i, 0, 0),
+    # point packing: p points -> one block-diagonal pN x pN "point"
+    n_eff = pack * n
+    s_eff = n_pad // pack
+    bs_eff = block_s // pack
+    if pack > 1:
+        mats = [blockdiag_pack(m, pack) for m in mats]
+        amats = [blockdiag_pack(m, pack) for m in amats]
+        vecs = [v.reshape(s_eff, n_eff) for v in vecs]
+        avecs = [v.reshape(s_eff, n_eff) for v in avecs]
+        # each point's exp(-dtau/mu0) repeated across its lane segment
+        ek2 = jnp.repeat(ek.reshape(s_eff, pack), n, axis=1)
+        d2 = jnp.tile(jnp.asarray(d_vec, r_f.dtype).reshape(1, n), (1, pack))
+        ek_block = (bs_eff, n_eff)
+    else:
+        ek2 = ek.reshape(n_pad, 1)
+        d2 = jnp.asarray(d_vec, r_f.dtype).reshape(1, n)
+        ek_block = (block_s, 1)
+
+    grid = (s_eff // bs_eff,)
+    mat_spec = pl.BlockSpec((bs_eff, n_eff, n_eff), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((block_s, n), lambda i: (i, 0),
+    vec_spec = pl.BlockSpec((bs_eff, n_eff), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    ek_spec = pl.BlockSpec((block_s, 1), lambda i: (i, 0),
+    ek_spec = pl.BlockSpec(ek_block, lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    d_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
+    d_spec = pl.BlockSpec((1, n_eff), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
 
     kern = functools.partial(_layer_step_kernel,
@@ -149,8 +222,8 @@ def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024)
-    mshape = jax.ShapeDtypeStruct((n_pad, n, n), r_f.dtype)
-    vshape = jax.ShapeDtypeStruct((n_pad, n), r_f.dtype)
+    mshape = jax.ShapeDtypeStruct((s_eff, n_eff, n_eff), r_f.dtype)
+    vshape = jax.ShapeDtypeStruct((s_eff, n_eff), r_f.dtype)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -161,6 +234,9 @@ def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
         interpret=interpret,
         **kwargs,
     )(*mats, *vecs, *amats, *avecs, ek2, d2)
+    if pack > 1:
+        out = ([blockdiag_unpack(o, pack, n) for o in out[:4]]
+               + [o.reshape(n_pad, n) for o in out[4:]])
     if pad:
         out = [o[:n_spec] for o in out]
     return LayerRT(r_mp=out[0], r_pm=out[1], t_pp=out[2], t_mm=out[3],

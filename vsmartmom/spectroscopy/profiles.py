@@ -75,7 +75,10 @@ def compute_absorption_profile(tau_abs: np.ndarray, molecule: str,
         par = hitran_artifact(molecule)
         from vsmartmom.spectroscopy.hitran import HitranEmptyError
         try:
-            ht = read_hitran(par, iso=1,
+            # all isotopologues (ref model_from_parameters.jl:71 reads the
+            # full per-molecule artifact; per-iso mass/TIPS handled in
+            # voigt.HitranModel)
+            ht = read_hitran(par,
                              nu_min=float(np.min(grid)) - absorption_params.wing_cutoff,
                              nu_max=float(np.max(grid)) + absorption_params.wing_cutoff)
         except HitranEmptyError:
