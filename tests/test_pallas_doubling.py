@@ -169,3 +169,91 @@ def test_fused_layer_step_per_layer_schedules():
     # ~1e-3 difference is elemental truncation of the f64 baseline, well
     # inside the 6SV1 gate)
     assert np.abs(R32 - R64).max() / np.abs(R64).max() < 2e-3
+
+
+def test_fused_lanes_engine():
+    """Lanes-layout VPU layer-step math (the small-N production engine on
+    TPU): the shared pure-jnp body == core.rt doubling+interaction on a
+    physical fixture. (Pallas interpret mode is ~1000x too slow for this
+    op count; the real-TPU glue is exercised by tools/check_bucketed.py
+    and bench.py.)"""
+    import jax.numpy as jnp
+    from vsmartmom.core.rt import (LayerRT, doubling, interaction,
+                                   make_rsolve, ns_doubling_schedule,
+                                   vacuum_layer)
+    from vsmartmom.pallas.lanes_kernel import (from_lanes_m, from_lanes_v,
+                                               lanes_layer_step_math,
+                                               to_lanes_m, to_lanes_v)
+
+    rng = np.random.default_rng(3)
+    S, n, nd = 24, 15, 6
+    tau_scat, mqm = 0.4, 0.15
+    sched = ns_doubling_schedule(tau_scat, mqm, nd)
+    dtau = tau_scat / 2 ** nd
+    d_vec = np.ones(n, np.float32)
+    r0 = jnp.asarray(rng.uniform(0, 1, (S, n, n)) * dtau / (n * mqm),
+                     jnp.float32)
+    t0 = jnp.asarray(
+        np.broadcast_to(np.eye(n) * np.exp(-dtau / mqm), (S, n, n)).copy()
+        + rng.uniform(0, 1, (S, n, n)) * dtau / (2 * n * mqm), jnp.float32)
+    jp0 = jnp.asarray(rng.uniform(0, dtau, (S, n)), jnp.float32)
+    jm0 = jnp.asarray(rng.uniform(0, dtau, (S, n)), jnp.float32)
+    ek = jnp.full((S,), np.exp(-dtau / 0.7), jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (S, n, n))
+    # a non-trivial composite to interact with
+    comp = vacuum_layer(S, n, jnp.float32)
+    rs = make_rsolve("schulz", 4)
+    rd, td, jpd, jmd = doubling(r0, t0, jp0, jm0, ek, nd, eye, rsolve=rs,
+                                ns_schedule=sched)
+    sgn = d_vec[None, :, None] * d_vec[None, None, :]
+    added0 = LayerRT(r_mp=rd, r_pm=sgn * rd, t_pp=td, t_mm=sgn * td,
+                     j_p=jpd, j_m=jmd)
+    comp = interaction(comp, added0, eye, rsolve=rs)
+
+    # reference: doubling + interaction through core.rt
+    ref_added = LayerRT(r_mp=rd, r_pm=sgn * rd, t_pp=td, t_mm=sgn * td,
+                        j_p=jpd, j_m=jmd)
+    ref = interaction(comp, ref_added, eye, rsolve=rs)
+
+    # lanes math on the same inputs (flipped-space r/jm, D = +1 here)
+    outs = lanes_layer_step_math(
+        to_lanes_m(comp.r_mp), to_lanes_m(comp.r_pm),
+        to_lanes_m(comp.t_pp), to_lanes_m(comp.t_mm),
+        to_lanes_v(comp.j_p), to_lanes_v(comp.j_m),
+        to_lanes_m(r0), to_lanes_m(t0), to_lanes_v(jp0), to_lanes_v(jm0),
+        jnp.reshape(ek, (1, S)), jnp.asarray(d_vec).reshape(n, 1),
+        ns_schedule=sched, ni=4)
+    got = LayerRT(*(from_lanes_m(m) for m in outs[:4]),
+                  *(from_lanes_v(v) for v in outs[4:]))
+    for name in LayerRT._fields:
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-12)
+        assert rel < 2e-5, (name, rel)
+
+
+def test_rt_run_band_lanes_engine_matches_xla():
+    """End-to-end rt_run_band with doubling_engine='pallas_lanes_interpret'
+    on a TINY case (interpret is slow) == 'xla' at the same schedules."""
+    import jax.numpy as jnp
+    from vsmartmom.core.rt_run import BandRTInputs, rt_run_band
+    from vsmartmom.scattering.phase import Polarization, get_greek_rayleigh
+    from vsmartmom.util.quadrature import rt_set_streams
+
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 8, 45.0, [10.0], pol.n)
+    rng = np.random.default_rng(1)
+    n_spec, n_z = 8, 2
+    tau_r = np.array([[0.02], [0.2]]) * np.ones((1, n_spec))
+    tau = tau_r + rng.uniform(0, 0.1, (n_z, n_spec))
+    band = BandRTInputs(tau=tau, omega=tau_r / tau,
+                        zw=np.ones((n_z, 1, n_spec)),
+                        greeks=[get_greek_rayleigh(0.03)])
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.2}
+    kw = dict(dtype=jnp.float32, solver="schulz")
+    R_x, T_x = rt_run_band(pol, quad, band, [10.0], [30.0], 1, surf,
+                           doubling_engine="xla", **kw)
+    R_p, T_p = rt_run_band(pol, quad, band, [10.0], [30.0], 1, surf,
+                           doubling_engine="pallas_lanes_interpret", **kw)
+    np.testing.assert_allclose(R_p, R_x, rtol=3e-5, atol=1e-9)
+    np.testing.assert_allclose(T_p, T_x, rtol=3e-5, atol=1e-9)

@@ -140,6 +140,15 @@ def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
             ls.theta = np.vstack([ls.theta] + [r[None] for r in new])
         return len(new)
 
+    # early LM iterations fit a 3x3 (T, P) corner+center subset of the 25
+    # conditions (~2.7x cheaper Jacobians); the final iterations and all
+    # residual/seeding decisions use the full set
+    if len(conds) == 25:
+        sub_ix = [5 * t + p for t in (0, 2, 4) for p in (0, 2, 4)]
+    else:
+        sub_ix = list(range(len(conds)))
+    conds_sub = [conds[i] for i in sub_ix]
+
     def lm_block(idx, base_model):
         """LM on the ``idx`` subset; other lines frozen into base_model."""
         m_sub, _ = window_model_jac(ls, idx, conds, g)
@@ -149,10 +158,19 @@ def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
         best = ls.theta[idx].copy()
         best_cost = np.inf
         stall = 0
-        for _ in range(iters):
-            m, jac = window_model_jac(ls, idx, conds, g)
-            r = (d_blk - m).ravel()
+        n_sub = int(iters * 0.6)
+        for i_it in range(iters):
+            full = i_it >= n_sub or len(sub_ix) == len(conds)
+            cnd = conds if full else conds_sub
+            dat = d_blk if full else d_blk[sub_ix]
+            m, jac = window_model_jac(ls, idx, cnd, g)
+            r = (dat - m).ravel()
             cost = float(r @ r)
+            if i_it == n_sub:
+                # switching cost metric: reset the LM state
+                prev = None
+                best_cost = np.inf
+                stall = 0
             if cost < best_cost * (1.0 - 1e-9):
                 best_cost, best = cost, ls.theta[idx].copy()
                 stall = 0
@@ -164,10 +182,14 @@ def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
             else:
                 ls.theta[idx] = best
                 lm *= 8.0
-                m, jac = window_model_jac(ls, idx, conds, g)
-                r = (d_blk - m).ravel()
+                m, jac = window_model_jac(ls, idx, cnd, g)
+                r = (dat - m).ravel()
             if stall > 15:
-                break
+                if full:
+                    break
+                # subset phase converged early: enter the full-cond phase
+                n_sub = i_it + 1
+                continue
             J = jac.reshape(len(r), len(idx) * 6)
             s = np.sqrt((J * J).sum(axis=0)) + 1e-300
             A = (J / s).T @ (J / s) + lm * np.eye(J.shape[1])

@@ -94,15 +94,29 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
     tau_sum_all = jnp.concatenate(
         [jnp.zeros((1, tau.shape[1]), dtype), jnp.cumsum(tau, axis=0)], axis=0)
 
-    if (doubling_engine in ("pallas_step", "pallas_step_interpret")
+    if (doubling_engine in ("pallas_lanes", "pallas_lanes_interpret")
+            and layer_schedules is None and ndoubl_static is not None
+            and ns_schedule is not None):
+        # uniform-profile case: one schedule for every layer
+        layer_schedules = ((int(ndoubl_static),
+                            tuple(ns_schedule)),) * int(tau.shape[0])
+    if (doubling_engine in ("pallas_step", "pallas_step_interpret",
+                            "pallas_lanes", "pallas_lanes_interpret")
             and layer_schedules is not None):
         # Per-layer static (ndoubl, NS-schedule). Consecutive layers with
         # the same schedule are bucketed into one lax.scan, so the program
         # holds one fused-kernel (Mosaic) instance per DISTINCT schedule
         # run — a 34-layer profile compiles ~6 kernels, not 34.
         from vsmartmom.core.rt import elemental_flipped
-        from vsmartmom.pallas.layer_step_kernel import fused_layer_step
-        interp = doubling_engine == "pallas_step_interpret"
+        interp = doubling_engine.endswith("interpret")
+        lanes = doubling_engine.startswith("pallas_lanes")
+        if lanes:
+            from vsmartmom.pallas.lanes_kernel import (fused_layer_step_lanes,
+                                                       from_lanes_m,
+                                                       from_lanes_v,
+                                                       to_lanes_m, to_lanes_v)
+        else:
+            from vsmartmom.pallas.layer_step_kernel import fused_layer_step
 
         buckets = []          # (nd, sched, start, count)
         for iz, (nd_z, sched_z) in enumerate(layer_schedules):
@@ -113,6 +127,10 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                 buckets.append((nd_z, tuple(sched_z), iz, 1))
 
         comp = vacuum_layer(n_spec, n, dtype)
+        if lanes:
+            # composite stays in lanes layout (N, N, S) across the scan
+            comp = LayerRT(*(to_lanes_m(m) for m in comp[:4]),
+                           *(to_lanes_v(v) for v in comp[4:]))
         for nd_z, sched_z, start, count in buckets:
             def scan_body(carry, inputs, _nd=nd_z, _sched=sched_z):
                 tau_z, omega_z, zw_z, tau_sum_z = inputs
@@ -122,15 +140,24 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                     tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2,
                     wct02, i0_vec, i_mu0_n, n_stokes, mu0_node, mu0,
                     d_vec, min_qp_mu, ndoubl_static=_nd)
-                new = fused_layer_step(
-                    carry, r_f, t, jp, jm_f, ek, d_vec,
-                    ns_schedule=_sched, ni=4, interpret=interp,
-                    precision_name=matmul_precision)
+                if lanes:
+                    new = fused_layer_step_lanes(
+                        carry, to_lanes_m(r_f), to_lanes_m(t),
+                        to_lanes_v(jp), to_lanes_v(jm_f), ek, d_vec,
+                        ns_schedule=_sched, ni=4, interpret=interp)
+                else:
+                    new = fused_layer_step(
+                        carry, r_f, t, jp, jm_f, ek, d_vec,
+                        ns_schedule=_sched, ni=4, interpret=interp,
+                        precision_name=matmul_precision)
                 return new, None
             sl = slice(start, start + count)
             comp, _ = jax.lax.scan(
                 scan_body, comp,
                 (tau[sl], omega[sl], zw[sl], tau_sum_all[sl]))
+        if lanes:
+            comp = LayerRT(*(from_lanes_m(m) for m in comp[:4]),
+                           *(from_lanes_v(v) for v in comp[4:]))
     elif (doubling_engine in ("pallas_step", "pallas_step_interpret")
             and ndoubl_static is not None and ns_schedule is not None):
         # doubling + interaction fused per layer in one VMEM-resident
@@ -424,9 +451,12 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     import os
     doubling_engine = os.environ.get("VSM_DOUBLING_ENGINE", doubling_engine)
     if doubling_engine == "auto":
-        # The fused kernel's lane packing (2n+2 rhs columns in one 128-lane
-        # MXU pass) requires n <= 63; beyond that Mosaic compilation of the
-        # multi-tile packs degenerates (observed: N=148 never finishes).
+        # The fused MXU kernel's lane packing (2n+2 rhs columns in one
+        # 128-lane pass) requires n <= 63; beyond that Mosaic compilation
+        # of the multi-tile packs degenerates (observed: N=148 never
+        # finishes). The experimental lanes-layout VPU kernel
+        # (pallas/lanes_kernel.py) measured 600x SLOWER on current Mosaic
+        # (leading-dim broadcasts scalarize) — never auto-selected.
         usable = (ns_schedule is not None or layer_schedules is not None)
         doubling_engine = ("pallas_step" if (jax.default_backend() != "cpu"
                                              and usable
