@@ -26,8 +26,16 @@ _SEARCH_DIRS = [
 ]
 
 
+#: HITRAN molecule numbers for the name-keyed artifact lookup
+MOL_IDS = {"H2O": 1, "CO2": 2, "O3": 3, "N2O": 4, "CO": 5, "CH4": 6,
+           "O2": 7, "NO": 8, "SO2": 9, "NO2": 10}
+
+
 def hitran_artifact(molecule: str) -> str:
-    """Locate the HITRAN .par line list for a molecule.
+    """Locate the line list for a molecule: HITRAN fixed-width ``.par`` or
+    the full-precision binary ``.npz`` form (theta = (n, 6) columns
+    [nu0, ln S296, E'', ln gamma_air, n_air, delta_air]; this framework's
+    extension — the .par format quantizes gamma/S onto a coarse lattice).
 
     ref: Artifacts/artifact_helper.jl:20-26. Searches VSMARTMOM_HITRAN_DIR
     and package data dirs; raises with guidance if absent (no silent
@@ -36,15 +44,37 @@ def hitran_artifact(molecule: str) -> str:
     for d in _SEARCH_DIRS:
         if not d:
             continue
-        for name in (f"{molecule}.par", f"{molecule}.data",
+        for name in (f"{molecule}.par", f"{molecule}.npz",
+                     f"{molecule}.data",
                      f"hitran_molec_id_{molecule}.par"):
             p = os.path.join(d, name)
             if os.path.exists(p):
                 return p
     raise FileNotFoundError(
-        f"No HITRAN line list found for {molecule!r}. Place '{molecule}.par' "
-        f"in $VSMARTMOM_HITRAN_DIR or ./data/hitran/ (download from "
-        f"hitran.org).")
+        f"No line list found for {molecule!r}. Place '{molecule}.par' (or "
+        f"the binary '{molecule}.npz') in $VSMARTMOM_HITRAN_DIR or "
+        f"./data/hitran/ (download from hitran.org).")
+
+
+def read_linelist(path: str, molecule: str, nu_min: float = 0.0,
+                  nu_max: float = np.inf):
+    """Dispatch the production line-list parse by extension (.par fixed
+    width / .npz binary), with the same wavenumber filter semantics."""
+    if path.endswith(".npz"):
+        from vsmartmom.spectroscopy.hitran import (HitranEmptyError,
+                                                   read_linelist_npz)
+        ht = read_linelist_npz(path, MOL_IDS.get(molecule, -1))
+        sel = (ht.nu > nu_min) & (ht.nu < nu_max)
+        if not sel.any():
+            raise HitranEmptyError(path)
+        import dataclasses
+        return dataclasses.replace(
+            ht, **{f.name: (getattr(ht, f.name)[sel]
+                            if isinstance(getattr(ht, f.name), np.ndarray)
+                            else [x for x, k in
+                                  zip(getattr(ht, f.name), sel) if k])
+                   for f in dataclasses.fields(ht)})
+    return read_hitran(path, nu_min=nu_min, nu_max=nu_max)
 
 
 def compute_absorption_profile(tau_abs: np.ndarray, molecule: str,
@@ -78,9 +108,10 @@ def compute_absorption_profile(tau_abs: np.ndarray, molecule: str,
             # all isotopologues (ref model_from_parameters.jl:71 reads the
             # full per-molecule artifact; per-iso mass/TIPS handled in
             # voigt.HitranModel)
-            ht = read_hitran(par,
-                             nu_min=float(np.min(grid)) - absorption_params.wing_cutoff,
-                             nu_max=float(np.max(grid)) + absorption_params.wing_cutoff)
+            ht = read_linelist(
+                par, molecule,
+                nu_min=float(np.min(grid)) - absorption_params.wing_cutoff,
+                nu_max=float(np.max(grid)) + absorption_params.wing_cutoff)
         except HitranEmptyError:
             # physically empty window (e.g. CO2 in the O2 A band):
             # contributes zero absorption
