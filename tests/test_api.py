@@ -162,3 +162,24 @@ def test_rt_run_concatenated_bands_match_per_band():
     np.testing.assert_allclose(R_cat[..., lims[1]], R1, rtol=5e-12)
     np.testing.assert_allclose(T_cat[..., lims[0]], T0, rtol=5e-12)
     np.testing.assert_allclose(T_cat[..., lims[1]], T1, rtol=5e-12)
+
+
+def test_show_utils():
+    """Pretty-printing parity (ref: show_utils.jl Base.show overloads):
+    repr(params) and repr(model) render the sectioned reports."""
+    import copy
+    import numpy as np
+    from vsmartmom import default_parameters, model_from_parameters
+
+    params = copy.deepcopy(default_parameters())
+    r = repr(params)
+    for section in ("Radiative Transfer", "Geometry",
+                    "Atmospheric Profile", "Absorption", "Scattering"):
+        assert section in r
+    assert "SZA" in r and "Quadrature type" in r
+
+    params.spec_bands = [np.arange(13155.0, 13157.0, 0.2)]
+    model = model_from_parameters(params)
+    rm = repr(model)
+    assert "Derived RT model" in rm
+    assert "column AOD" in rm and "band[0]" in rm

@@ -47,6 +47,10 @@ class RTModel:
     profile: AtmosphericProfile
     pol: Polarization
 
+    def __repr__(self):          # ref: show_utils.jl Base.show overload
+        from vsmartmom.util.show import describe_model
+        return describe_model(self)
+
 
 def model_from_parameters(params: RTParameters) -> RTModel:
     n_bands = len(params.spec_bands)
