@@ -318,8 +318,17 @@ def main(molecule, target, hours, procs, outer=8):
                     if len(results) % 6 == 0:
                         snap = LineSet(molecule)
                         snap.theta = ls.theta.copy()
+                        new_rows = []
                         for (_a, _b), _w, ui, ut, ad in results:
                             snap.theta[ui] = ut
+                            if len(ad):
+                                new_rows.append(ad)
+                        if new_rows:
+                            # newly-seeded lines MUST ride the checkpoint:
+                            # a mid-round kill otherwise keeps the moved
+                            # originals but loses their compensating adds
+                            # (observed as recurring ~3e-22 regressions)
+                            snap.add(np.vstack(new_rows))
                         snap.save(path)
                         print(f"[{molecule}]   {len(results)}/{len(tasks)} "
                               f"windows, last wres={res[1]:.2e}", flush=True)
