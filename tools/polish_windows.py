@@ -241,7 +241,19 @@ def _work(task):
     ls = LineSet(molecule)
     ls.theta = theta_snap.copy()
     n_orig = ls.n
+    # initial residual of THIS window's lines against their data slice:
+    # a fit that ends worse than it started must not be merged (core-only
+    # freezing of drifted lines can break co-fit consistency)
+    if n_orig:
+        m0, _ = window_model_jac(ls, np.arange(n_orig), conds, g)
+    else:
+        m0 = np.zeros_like(data)
+    wres0 = float(np.abs(data - m0).max())
     wres = lm_core(ls, conds, data, g, a, b, target)
+    if wres > wres0:
+        core = (theta_snap[:, 0] >= a) & (theta_snap[:, 0] < b)
+        return (a, b), wres0, idx_all[core], theta_snap[core], \
+            np.zeros((0, 6))
     core = (ls.theta[:n_orig, 0] >= a) & (ls.theta[:n_orig, 0] < b)
     # lines that drifted out of the core are frozen (their home window owns
     # them); newly added lines are returned whole
