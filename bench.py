@@ -186,8 +186,8 @@ def _voigt_kernel_rate():
     from vsmartmom.spectroscopy.voigt import (line_parameters,
                                               make_hitran_model,
                                               make_voigt_plan)
-    npz = os.path.join(os.path.dirname(__file__), "data", "fit_state",
-                       "CO2_fit.npz")
+    npz = os.path.join(os.path.dirname(__file__), "data", "hitran",
+                       "CO2.npz")
     if not os.path.exists(npz):
         return None
     ht = read_linelist_npz(npz, 2)
