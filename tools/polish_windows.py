@@ -254,9 +254,13 @@ def _work(task):
         core = (theta_snap[:, 0] >= a) & (theta_snap[:, 0] < b)
         return (a, b), wres0, idx_all[core], theta_snap[core], \
             np.zeros((0, 6))
-    core = (ls.theta[:n_orig, 0] >= a) & (ls.theta[:n_orig, 0] < b)
-    # lines that drifted out of the core are frozen (their home window owns
-    # them); newly added lines are returned whole
+    # ownership by ORIGINAL position: cores are disjoint in snap coords, so
+    # each line index is updated by exactly one window. Judging by CURRENT
+    # position instead lets a pad line that drifted into the core be claimed
+    # by two adjacent windows fitted in parallel — last-write-wins then
+    # breaks both windows' co-fit consistency (observed as a 1.6e-24 ->
+    # 1.2e-22 regression after a mid-round checkpoint).
+    core = (theta_snap[:, 0] >= a) & (theta_snap[:, 0] < b)
     upd_idx = idx_all[core]
     upd_theta = ls.theta[:n_orig][core]
     added = ls.theta[n_orig:]
