@@ -432,22 +432,30 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 # tau / 2^nd, so accuracy is unaffected or better; thin
                 # layers pay a few extra 5-pass doubling steps, negligible
                 # next to the thick layers' cost.
-                from vsmartmom.core.rt import ns_doubling_schedule
+                from vsmartmom.core.rt import (ns_doubling_schedule,
+                                               ns_interaction_iters)
                 nd_all = np.zeros(len(tau_scat), dtype=int)
                 nd_all[pos] = nd.astype(int)
                 q = _ND_QUANT
                 nd_all = q * np.ceil(np.maximum(nd_all, 1) / q).astype(int)
                 dm = 0.004 * min_qp_mu
+                ni_all = ns_interaction_iters(tau_scat, min_qp_mu)
                 layer_schedules = tuple(
                     (int(k), ns_doubling_schedule(dm * 2.0 ** int(k),
-                                                  min_qp_mu, int(k)))
-                    for k in nd_all)
+                                                  min_qp_mu, int(k)),
+                     int(ni))
+                    for k, ni in zip(nd_all, ni_all))
+                if len(set(layer_schedules)) > 6:
+                    # too many distinct (nd, sched, ni) buckets: first give
+                    # up interaction-iteration adaptivity (ni=4 everywhere)
+                    layer_schedules = tuple(
+                        e[:2] + (4,) for e in layer_schedules)
                 if len(set(layer_schedules)) > 6:
                     # safety cap on Mosaic kernel instances: collapse to
                     # one global (max) schedule — a single compile
                     k = int(nd_all.max())
                     sched = ns_doubling_schedule(dm * 2.0 ** k, min_qp_mu, k)
-                    layer_schedules = tuple((k, sched) for _ in nd_all)
+                    layer_schedules = tuple((k, sched, 4) for _ in nd_all)
     import os
     doubling_engine = os.environ.get("VSM_DOUBLING_ENGINE", doubling_engine)
     if doubling_engine == "auto":

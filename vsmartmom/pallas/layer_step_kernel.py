@@ -62,7 +62,7 @@ def _layer_step_kernel(cr_mp_ref, cr_pm_ref, ct_pp_ref, ct_mm_ref,
                        cjp_ref, cjm_ref,
                        r_ref, t_ref, jp_ref, jm_ref, ek_ref, d_ref,
                        or_mp, or_pm, ot_pp, ot_mm, ojp, ojm,
-                       *, ns_schedule, ni, precision):
+                       *, ns_schedule, ni, precision, pushthrough):
     mm = batch_mm(precision)
 
     # --- 1. doubling of the elemental layer (flipped space) ---
@@ -92,17 +92,32 @@ def _layer_step_kernel(cr_mp_ref, cr_pm_ref, ct_pp_ref, ct_mm_ref,
     a1 = eye - mm(r2mp, c_rpm)
     w1 = mm(r2mp, jnp.concatenate([c_tpp, c_jp[..., None]], axis=-1))
     v1 = w1[..., n] + j2m
-    o1 = mm(c_tmm, mm(ns_m(mm, a1, ni), jnp.concatenate(
-        [w1[..., :n], t2mm, v1[..., None]], axis=-1)))
+    x1 = jnp.concatenate([w1[..., :n], t2mm, v1[..., None]], axis=-1)
+    w2 = mm(c_rpm, jnp.concatenate([t2mm, j2m[..., None]], axis=-1))
+    v2 = c_jp + w2[..., n]
+    x2 = jnp.concatenate([c_tpp, w2[..., :n], v2[..., None]], axis=-1)
+
+    if pushthrough:
+        # ONE Newton-Schulz solve per layer: the second interaction solve
+        # follows from the first by the push-through identity
+        #   (I - c_rpm r2mp)^-1 = I + c_rpm (I - r2mp c_rpm)^-1 r2mp,
+        # exact for the true inverse; with the NS approximation M1 the
+        # substitute's residual is c_rpm (M1 - A1^-1) r2mp, no larger than
+        # the direct NS residual (||c_rpm||, ||r2mp|| <= 1 for passive
+        # media). Saves the a2 build + 2*ni solve passes (24 -> 7 + 2*ni
+        # MXU passes of interaction per layer).
+        y = mm(ns_m(mm, a1, ni),
+               jnp.concatenate([x1, mm(r2mp, x2)], axis=-1))
+        o1 = mm(c_tmm, y[..., :2 * n + 1])
+        o2 = mm(t2, x2 + mm(c_rpm, y[..., 2 * n + 1:]))
+    else:
+        o1 = mm(c_tmm, mm(ns_m(mm, a1, ni), x1))
+        a2 = eye - mm(c_rpm, r2mp)
+        o2 = mm(t2, mm(ns_m(mm, a2, ni), x2))
+
     or_mp[:] = c_rmp + o1[..., :n]
     ot_mm[:] = o1[..., n:2 * n]
     ojm[:] = c_jm + o1[..., 2 * n]
-
-    a2 = eye - mm(c_rpm, r2mp)
-    w2 = mm(c_rpm, jnp.concatenate([t2mm, j2m[..., None]], axis=-1))
-    v2 = c_jp + w2[..., n]
-    o2 = mm(t2, mm(ns_m(mm, a2, ni), jnp.concatenate(
-        [c_tpp, w2[..., :n], v2[..., None]], axis=-1)))
     ot_pp[:] = o2[..., :n]
     or_pm[:] = r2pm + o2[..., n:2 * n]
     ojp[:] = jp2 + o2[..., 2 * n]
@@ -146,12 +161,13 @@ def _auto_pack(n: int, block_s: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("ns_schedule", "ni", "block_s",
                                              "interpret", "precision_name",
-                                             "pack_points"))
+                                             "pack_points", "pushthrough"))
 def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
                      ns_schedule: tuple, ni: int = 4, block_s: int = 16,
                      interpret: bool = False,
                      precision_name: str = "highest",
-                     pack_points: int | None = None):
+                     pack_points: int | None = None,
+                     pushthrough: bool = True):
     """One RT layer step: double the elemental (flipped-space) layer and
     compose it under the composite. comp is a LayerRT pytree; r_f/t:
     (nSpec, N, N); jp/jm_f: (nSpec, N); ek: (nSpec,); d_vec: (N,).
@@ -217,7 +233,7 @@ def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
 
     kern = functools.partial(_layer_step_kernel,
                              ns_schedule=tuple(ns_schedule), ni=ni,
-                             precision=precision)
+                             precision=precision, pushthrough=pushthrough)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
