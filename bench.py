@@ -50,8 +50,7 @@ F32_PEAK_TFLOPS = 197.0 / 6.0
 def headline():
     import jax
     import __graft_entry__ as g
-    from vsmartmom.core.rt import ns_doubling_schedule
-    from vsmartmom.core.rt_run import _fourier_step
+    from vsmartmom.core.rt_run import _fourier_step, build_layer_schedules
 
     dtype = np.float32
     n_spec = 20_000
@@ -60,13 +59,12 @@ def headline():
     a = {k: jax.device_put(v) for k, v in args.items()
          if isinstance(v, np.ndarray)}
 
-    # host-precomputed static doubling count (uniform layers here), the
-    # same decision rt_run_band makes
-    tau_scat = float(np.max(args["tau"] * args["omega"]))
+    # host-precomputed static doubling schedules via rt_run_band's OWN
+    # builder (uniform layers here -> the single-static-count branch)
     mqm = float(args["min_qp_mu"])
-    dmax = min(tau_scat, 0.004 * mqm)
-    nd = int(np.ceil(np.log2(max(tau_scat / dmax, 1.0))))
-    sched = ns_doubling_schedule(tau_scat, mqm, nd)
+    nd, sched, _ls = build_layer_schedules(
+        args["tau"], args["omega"], mqm, "schulz")
+    assert nd is not None and sched is not None and _ls is None
 
     def run(is_m0):
         comp, _ = _fourier_step(
@@ -160,6 +158,7 @@ def flagship():
         t_rt1, t_rt = run_rt()
     except Exception as e:                     # noqa: BLE001
         out["flagship_error"] = f"{type(e).__name__}: {e}"
+        prev_engine = os.environ.get("VSM_DOUBLING_ENGINE")
         try:                                   # record SOME end-to-end number
             os.environ["VSM_DOUBLING_ENGINE"] = "xla"
             t_rt1, t_rt = run_rt()
@@ -168,7 +167,10 @@ def flagship():
             out["flagship_fallback_error"] = f"{type(e2).__name__}: {e2}"
             return out
         finally:
-            del os.environ["VSM_DOUBLING_ENGINE"]
+            if prev_engine is None:
+                os.environ.pop("VSM_DOUBLING_ENGINE", None)
+            else:
+                os.environ["VSM_DOUBLING_ENGINE"] = prev_engine
 
     out["flagship_rt_pts_per_s"] = round(n_spec / t_rt, 1)
     out["flagship_compile_s"] = round(t_rt1 - t_rt, 2)

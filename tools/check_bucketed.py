@@ -55,6 +55,15 @@ def run_check(n_spec=2048, n_z=34, max_m=3):
 
     out = {"n_spec": n_spec, "n_z": n_z}
 
+    # Engagement is asserted on THIS run's compile-cache entries: snapshot
+    # the keys first, then require that new pallas_step-keyed entries
+    # appeared and that every one holds a live compiled executable (a
+    # watchdog/runtime fallback stores None). A process-global all(...)
+    # over the whole cache was vacuously true when empty and poisoned by
+    # unrelated runs (round-3 advisor finding).
+    from vsmartmom.core import rt_run as rr
+    keys_before = set(rr._COMPILED_CACHE)
+
     t0 = time.perf_counter()
     R_p, T_p = rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,
                            doubling_engine="pallas_step", **common)
@@ -64,11 +73,20 @@ def run_check(n_spec=2048, n_z=34, max_m=3):
                           doubling_engine="pallas_step", **common)
     out["pallas_steady_s"] = round(time.perf_counter() - t0, 2)
 
-    # did the Pallas engine survive (no fallback)?  A fallback populates
-    # the compiled cache with None entries.
-    from vsmartmom.core import rt_run as rr
-    out["pallas_engaged"] = all(v is not None
-                                for v in rr._COMPILED_CACHE.values())
+    new = {k: v for k, v in rr._COMPILED_CACHE.items()
+           if k not in keys_before}
+
+    def _is_pallas_key(k):
+        statics = dict(k[0])
+        return str(statics.get("doubling_engine", "")).startswith("pallas")
+
+    # every Fourier moment (is_m0 True/False) must have compiled its own
+    # pallas_step program and kept it live through the steady-state rerun
+    out["pallas_new_compiles"] = len(new)
+    out["pallas_engaged"] = bool(
+        len(new) >= min(max_m, 2)
+        and all(_is_pallas_key(k) for k in new)
+        and all(v is not None for v in new.values()))
 
     t0 = time.perf_counter()
     R_x, T_x = rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,

@@ -152,6 +152,32 @@ def ns_doubling_schedule(tau_scat_bound: float, min_qp_mu: float,
     return tuple(sched)
 
 
+def ns_interaction_iters(tau_scat, min_qp_mu: float, tol: float = 1e-8,
+                         cap: int = 4) -> tuple:
+    """Per-layer Newton-Schulz iteration counts for the interaction solve.
+
+    The layer scan runs TOA -> BOA: composing the composite (all layers
+    above z) with added layer z solves (I - r_z R_comp)^{-1}. Its spectral
+    radius is bounded by the product of the two plane albedos,
+      ||r_z||     <= 1 - exp(-2 tau_z / mu_min)          (added slab)
+      ||R_comp||  <= 1 - exp(-2 sum_{z'<z} tau_z' / mu_min)  (stack above),
+    the same worst-node bound ns_doubling_schedule uses per doubling step.
+    Real profiles have an optically thin upper atmosphere: the first ~half
+    of the layers need 0-1 iterations instead of the fixed 4 (the layer
+    with a VACUUM composite needs 0 exactly: A = I). Iteration counts keep
+    the residual B^(2^(i+1)) below f32 rounding, so results are unchanged.
+
+    ``tau_scat``: per-layer scattering optical depth bounds, TOA first
+    (host numpy). Returns a tuple of Python ints (static schedule data).
+    """
+    tau_scat = np.maximum(np.asarray(tau_scat, dtype=float), 0.0)
+    tau_above = np.concatenate([[0.0], np.cumsum(tau_scat)[:-1]])
+    r_add = -np.expm1(-2.0 * tau_scat / min_qp_mu)
+    r_comp = -np.expm1(-2.0 * tau_above / min_qp_mu)
+    return tuple(ns_iters_for_bound(float(ra * rc), tol, cap)
+                 for ra, rc in zip(r_add, r_comp))
+
+
 # --- doubling count (ref: src/CoreRT/tools/rt_helper_functions.jl:31-57) ----
 
 def doubling_number(dtau_max, tau_end):

@@ -99,7 +99,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             and ns_schedule is not None):
         # uniform-profile case: one schedule for every layer
         layer_schedules = ((int(ndoubl_static),
-                            tuple(ns_schedule)),) * int(tau.shape[0])
+                            tuple(ns_schedule), 4),) * int(tau.shape[0])
     if (doubling_engine in ("pallas_step", "pallas_step_interpret",
                             "pallas_lanes", "pallas_lanes_interpret")
             and layer_schedules is not None):
@@ -118,21 +118,23 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
         else:
             from vsmartmom.pallas.layer_step_kernel import fused_layer_step
 
-        buckets = []          # (nd, sched, start, count)
-        for iz, (nd_z, sched_z) in enumerate(layer_schedules):
+        buckets = []          # (nd, sched, ni, start, count)
+        for iz, (nd_z, sched_z, ni_z) in enumerate(layer_schedules):
             if buckets and buckets[-1][0] == nd_z \
-                    and buckets[-1][1] == tuple(sched_z):
-                buckets[-1] = buckets[-1][:3] + (buckets[-1][3] + 1,)
+                    and buckets[-1][1] == tuple(sched_z) \
+                    and buckets[-1][2] == ni_z:
+                buckets[-1] = buckets[-1][:4] + (buckets[-1][4] + 1,)
             else:
-                buckets.append((nd_z, tuple(sched_z), iz, 1))
+                buckets.append((nd_z, tuple(sched_z), ni_z, iz, 1))
 
         comp = vacuum_layer(n_spec, n, dtype)
         if lanes:
             # composite stays in lanes layout (N, N, S) across the scan
             comp = LayerRT(*(to_lanes_m(m) for m in comp[:4]),
                            *(to_lanes_v(v) for v in comp[4:]))
-        for nd_z, sched_z, start, count in buckets:
-            def scan_body(carry, inputs, _nd=nd_z, _sched=sched_z):
+        for nd_z, sched_z, ni_z, start, count in buckets:
+            def scan_body(carry, inputs, _nd=nd_z, _sched=sched_z,
+                          _ni=ni_z):
                 tau_z, omega_z, zw_z, tau_sum_z = inputs
                 z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
                 z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
@@ -144,11 +146,11 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                     new = fused_layer_step_lanes(
                         carry, to_lanes_m(r_f), to_lanes_m(t),
                         to_lanes_v(jp), to_lanes_v(jm_f), ek, d_vec,
-                        ns_schedule=_sched, ni=4, interpret=interp)
+                        ns_schedule=_sched, ni=_ni, interpret=interp)
                 else:
                     new = fused_layer_step(
                         carry, r_f, t, jp, jm_f, ek, d_vec,
-                        ns_schedule=_sched, ni=4, interpret=interp,
+                        ns_schedule=_sched, ni=_ni, interpret=interp,
                         precision_name=matmul_precision)
                 return new, None
             sl = slice(start, start + count)
@@ -200,15 +202,23 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
         # the two engines agree to f32 rounding (exercised by the bucketed
         # engine check, tools/check_bucketed.py, and the Pallas fallback).
         buckets = []
-        for iz, (nd_z, sched_z) in enumerate(layer_schedules):
+        for iz, (nd_z, sched_z, ni_z) in enumerate(layer_schedules):
             if buckets and buckets[-1][0] == nd_z \
-                    and buckets[-1][1] == tuple(sched_z):
-                buckets[-1] = buckets[-1][:3] + (buckets[-1][3] + 1,)
+                    and buckets[-1][1] == tuple(sched_z) \
+                    and buckets[-1][2] == ni_z:
+                buckets[-1] = buckets[-1][:4] + (buckets[-1][4] + 1,)
             else:
-                buckets.append((nd_z, tuple(sched_z), iz, 1))
+                buckets.append((nd_z, tuple(sched_z), ni_z, iz, 1))
         comp = vacuum_layer(n_spec, n, dtype)
-        for nd_z, sched_z, start, count in buckets:
-            def scan_body(carry, inputs, _nd=nd_z, _sched=sched_z):
+        for nd_z, sched_z, ni_z, start, count in buckets:
+            # per-bucket interaction solver: schulz gets the layer's static
+            # NS iteration count (same ni the fused Pallas kernel uses, so
+            # the two engines keep identical discretization); LU is exact
+            # and ignores ni.
+            irs = (make_rsolve("schulz", ni_z) if solver == "schulz"
+                   else rsolve)
+            def scan_body(carry, inputs, _nd=nd_z, _sched=sched_z,
+                          _irs=irs):
                 tau_z, omega_z, zw_z, tau_sum_z = inputs
                 z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
                 z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
@@ -218,7 +228,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                     min_qp_mu, eye, rsolve=rsolve, ndoubl_static=_nd,
                     ns_schedule=_sched, doubling_engine="xla",
                     matmul_precision=matmul_precision)
-                return interaction(carry, added, eye, rsolve=rsolve), None
+                return interaction(carry, added, eye, rsolve=_irs), None
             sl = slice(start, start + count)
             comp, _ = jax.lax.scan(
                 scan_body, comp,
@@ -261,6 +271,108 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
 # ndoubl quantization step for the bucketed Pallas path (multiples of this
 # -> at most ~4-6 distinct Mosaic kernel compiles per profile)
 _ND_QUANT = 4
+
+
+def build_layer_schedules(tau, omega, min_qp_mu: float, solver: str):
+    """Host-side static doubling/solver schedules for one band profile.
+
+    THE production schedule builder: rt_run_band, bench.py's flagship
+    harness, and __graft_entry__.dryrun_multichip all route through this
+    single function, so driver artifacts exercise the code path that ships
+    (round-3 lesson: an inline re-implementation let the real path break
+    while every guard stayed green).
+
+    Returns (ndoubl_static, ns_schedule, layer_schedules):
+      - nearly-uniform per-layer doubling counts -> one statically-unrolled
+        count `ndoubl_static` (+ per-step NS schedule for schulz); XLA
+        pipelines the unrolled loop ~6% faster than the traced while_loop
+        and it becomes reverse-mode differentiable.
+      - widely-spread counts (real profiles: thin stratosphere above thick
+        low layers) + schulz -> per-layer static `layer_schedules` of
+        3-tuples (ndoubl, ns_doubling_schedule, ns_interaction_iters).
+        nd is quantized UP to a multiple of _ND_QUANT so a 34-layer
+        profile holds at most ~4 distinct schedules -> at most ~4 Mosaic
+        compiles of the fused layer-step kernel. (Unquantized, a real
+        profile spans nd = 0..14 and the 14 sequential Mosaic compiles
+        took >500 s / crashed the TPU worker — BENCH_r02.) Rounding nd up
+        only SHRINKS the elemental step dtau = tau / 2^nd, so accuracy is
+        unaffected or better. The interaction iteration count ni keeps the
+        NS residual below f32 rounding per layer (thin upper layers need
+        0-1 instead of 4 — the work-reduction lever of PERF_NOTES.md).
+      - anything non-static (traced inputs) -> (None, None, None): the
+        traced-ndoubl while_loop path.
+
+    Never raises: any internal failure degrades to (None, None, None) with
+    a warning (the always-safe XLA traced path) — schedule construction is
+    an optimization, not a correctness requirement.
+    """
+    try:
+        return _build_layer_schedules(tau, omega, min_qp_mu, solver)
+    except Exception as e:                                 # noqa: BLE001
+        import warnings
+        warnings.warn(
+            f"[vsmartmom] static schedule construction failed "
+            f"({type(e).__name__}: {e}) — degrading to the traced-ndoubl "
+            f"XLA doubling path")
+        return None, None, None
+
+
+def _build_layer_schedules(tau, omega, min_qp_mu: float, solver: str):
+    from vsmartmom.core.rt import ns_doubling_schedule, ns_interaction_iters
+
+    if not (isinstance(tau, np.ndarray) and isinstance(omega, np.ndarray)):
+        return None, None, None
+    tau_scat = np.max(tau * omega, axis=1)
+    pos = tau_scat > 0
+    if not np.any(pos):
+        return None, None, None
+    dmax = np.minimum(tau_scat[pos], 0.004 * min_qp_mu)
+    nd = np.ceil(np.log2(np.maximum(tau_scat[pos] / dmax, 1.0)))
+    if nd.max() - nd.min() <= 2:
+        ndoubl_static = int(nd.max())
+        ns_schedule = None
+        if solver == "schulz":
+            ns_schedule = ns_doubling_schedule(
+                float(tau_scat.max()), min_qp_mu, ndoubl_static)
+        return ndoubl_static, ns_schedule, None
+    if solver != "schulz":
+        return None, None, None
+
+    nd_all = np.zeros(len(tau_scat), dtype=int)
+    nd_all[pos] = nd.astype(int)
+    q = _ND_QUANT
+    nd_all = q * np.ceil(np.maximum(nd_all, 1) / q).astype(int)
+    dm = 0.004 * min_qp_mu
+    ni_all = ns_interaction_iters(tau_scat, min_qp_mu)
+    layer_schedules = tuple(
+        (int(k), ns_doubling_schedule(dm * 2.0 ** int(k), min_qp_mu,
+                                      int(k)),
+         int(ni))
+        for k, ni in zip(nd_all, ni_all))
+    if len(set(layer_schedules)) > 6:
+        # too many distinct (nd, sched, ni) buckets: quantize ni UP to the
+        # max within each (nd, sched) group — layers sharing a doubling
+        # schedule have similar optical depth, and extra NS iterations only
+        # tighten the residual, so adaptivity survives at the group level
+        # with at most one kernel instance per distinct doubling schedule
+        group_ni: dict = {}
+        for nd_e, sched_e, ni_e in layer_schedules:
+            key = (nd_e, sched_e)
+            group_ni[key] = max(group_ni.get(key, 0), ni_e)
+        layer_schedules = tuple(
+            (nd_e, sched_e, group_ni[(nd_e, sched_e)])
+            for nd_e, sched_e, _ in layer_schedules)
+    if len(set(layer_schedules)) > 6:
+        # still too many: give up interaction adaptivity entirely
+        layer_schedules = tuple(e[:2] + (4,) for e in layer_schedules)
+    if len(set(layer_schedules)) > 6:
+        # safety cap on Mosaic kernel instances: collapse to one global
+        # (max) schedule — a single compile
+        k = int(nd_all.max())
+        sched = ns_doubling_schedule(dm * 2.0 ** k, min_qp_mu, k)
+        layer_schedules = tuple((k, sched, 4) for _ in nd_all)
+    return None, None, layer_schedules
+
 
 # --- engine resilience: the Pallas fused-kernel engines must never hang or
 # kill the run (BENCH_r02: an unbounded Mosaic compile crashed the TPU
@@ -399,63 +511,8 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     bhr_uw = np.zeros(n_spec)
     bhr_dw = np.zeros(n_spec)
 
-    # Statically-unrolled doubling when the per-layer counts are nearly
-    # uniform (XLA pipelines the unrolled loop ~6% faster than the traced
-    # while_loop and it becomes reverse-mode differentiable); with a wide
-    # spread the per-layer traced count does less total work.
-    ndoubl_static = None
-    ns_schedule = None
-    layer_schedules = None
-    if isinstance(band.tau, np.ndarray) and isinstance(band.omega,
-                                                       np.ndarray):
-        tau_scat = np.max(band.tau * band.omega, axis=1)
-        pos = tau_scat > 0
-        if np.any(pos):
-            dmax = np.minimum(tau_scat[pos], 0.004 * min_qp_mu)
-            nd = np.ceil(np.log2(np.maximum(tau_scat[pos] / dmax, 1.0)))
-            if nd.max() - nd.min() <= 2:
-                ndoubl_static = int(nd.max())
-                if solver == "schulz":
-                    from vsmartmom.core.rt import ns_doubling_schedule
-                    ns_schedule = ns_doubling_schedule(
-                        float(tau_scat.max()), min_qp_mu, ndoubl_static)
-            elif solver == "schulz":
-                # widely-spread per-layer doubling counts (real profiles:
-                # thin stratosphere above thick low layers): per-layer
-                # static (ndoubl, NS-schedule). nd is quantized UP to a
-                # multiple of 4 so a 34-layer profile holds at most ~4
-                # distinct schedules -> at most ~4 Mosaic compiles of the
-                # fused layer-step kernel. (Unquantized, a real profile
-                # spans nd = 0..14 and the 14 sequential Mosaic compiles
-                # took >500 s / crashed the TPU worker — BENCH_r02.)
-                # Rounding nd up only SHRINKS the elemental step dtau =
-                # tau / 2^nd, so accuracy is unaffected or better; thin
-                # layers pay a few extra 5-pass doubling steps, negligible
-                # next to the thick layers' cost.
-                from vsmartmom.core.rt import (ns_doubling_schedule,
-                                               ns_interaction_iters)
-                nd_all = np.zeros(len(tau_scat), dtype=int)
-                nd_all[pos] = nd.astype(int)
-                q = _ND_QUANT
-                nd_all = q * np.ceil(np.maximum(nd_all, 1) / q).astype(int)
-                dm = 0.004 * min_qp_mu
-                ni_all = ns_interaction_iters(tau_scat, min_qp_mu)
-                layer_schedules = tuple(
-                    (int(k), ns_doubling_schedule(dm * 2.0 ** int(k),
-                                                  min_qp_mu, int(k)),
-                     int(ni))
-                    for k, ni in zip(nd_all, ni_all))
-                if len(set(layer_schedules)) > 6:
-                    # too many distinct (nd, sched, ni) buckets: first give
-                    # up interaction-iteration adaptivity (ni=4 everywhere)
-                    layer_schedules = tuple(
-                        e[:2] + (4,) for e in layer_schedules)
-                if len(set(layer_schedules)) > 6:
-                    # safety cap on Mosaic kernel instances: collapse to
-                    # one global (max) schedule — a single compile
-                    k = int(nd_all.max())
-                    sched = ns_doubling_schedule(dm * 2.0 ** k, min_qp_mu, k)
-                    layer_schedules = tuple((k, sched, 4) for _ in nd_all)
+    ndoubl_static, ns_schedule, layer_schedules = build_layer_schedules(
+        band.tau, band.omega, min_qp_mu, solver)
     import os
     doubling_engine = os.environ.get("VSM_DOUBLING_ENGINE", doubling_engine)
     if doubling_engine == "auto":
