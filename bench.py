@@ -177,7 +177,71 @@ def flagship():
     if t_voigt is not None:
         out["flagship_o2_aband_pts_per_s"] = round(
             n_spec / (t_rt + t_voigt), 1)
+
+    # A/B: the same flagship run with the per-layer interaction-NS
+    # adaptivity disabled (uniform ni=4) — quantifies the work-reduction
+    # lever of docs/PERF_NOTES.md on the real heterogeneous profile
+    prev_ni = os.environ.get("VSM_FIXED_NI")
+    try:
+        os.environ["VSM_FIXED_NI"] = "4"
+        _, t_fixed = run_rt()
+        out["flagship_rt_pts_per_s_fixed_ni4"] = round(n_spec / t_fixed, 1)
+    except Exception as e:                     # noqa: BLE001
+        out["flagship_fixed_ni_error"] = f"{type(e).__name__}: {e}"
+    finally:
+        if prev_ni is None:
+            os.environ.pop("VSM_FIXED_NI", None)
+        else:
+            os.environ["VSM_FIXED_NI"] = prev_ni
     return out
+
+
+def raman_rrs():
+    """Rotational-Raman (ring-effect) TPU throughput: Cabannes elastic run
+    + first-order RRS source coupling across the full +-~194 cm^-1 shift
+    range (ref: the reference's RRS path, rt_run.jl + CoreKernel/
+    *_inelastic.jl, measured here as spectral-points/s on one chip)."""
+    import jax.numpy as jnp
+    from vsmartmom.core.rt_raman import rt_run_band_rrs
+    from vsmartmom.core.rt_run import BandRTInputs
+    from vsmartmom.scattering.phase import get_greek_rayleigh
+    from vsmartmom.inelastic.rrs import make_rrs
+    from vsmartmom.scattering.phase import Polarization
+    from vsmartmom.util.quadrature import rt_set_streams
+
+    n_spec = 2048
+    grid = 12700.0 + 0.25 * np.arange(n_spec)      # 512 cm^-1 span
+    rrs = make_rrs(grid, T=250.0)
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 8, 45.0, [0.0], pol.n)
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.05}
+    n_z = 10
+    rng = np.random.default_rng(0)
+    tau_rayl = np.full((n_z, n_spec), 0.04)
+    # absorption lines -> ring-effect configuration (filling-in visible)
+    tau_abs = 0.3 * rng.random((n_z, 1)) * np.exp(
+        -0.5 * ((grid - 12950.0) / 2.0) ** 2)[None, :]
+    tau = tau_rayl + tau_abs
+    f_rayl = tau_rayl / tau
+    band = BandRTInputs(
+        tau=tau, omega=tau_rayl * rrs.omega_cabannes / tau,
+        zw=np.ones((n_z, 1, n_spec)),
+        greeks=[get_greek_rayleigh(rrs.depol_rayl)])
+
+    def run():
+        t0 = time.perf_counter()
+        R, T, ieR, ieT = rt_run_band_rrs(
+            pol, quad, band, rrs, f_rayl, [30.0], [0.0], 3, surf,
+            dtype=jnp.float32)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(ieR).all() and (np.asarray(ieR) != 0).any()
+        return dt
+
+    t_warm = run()                             # includes jit compile
+    t_steady = run()
+    return {"raman_rrs_pts_per_s": round(n_spec / t_steady, 1),
+            "raman_rrs_compile_s": round(t_warm - t_steady, 2),
+            "raman_rrs_n_spec": n_spec}
 
 
 def _voigt_kernel_rate():
@@ -234,6 +298,10 @@ def main():
     fl = stage("flagship", flagship)
     if fl:
         extras.update(fl)
+
+    rr = stage("raman_rrs", raman_rrs)
+    if rr:
+        extras.update(rr)
 
     def bucketed():
         from tools.check_bucketed import run_check

@@ -225,6 +225,13 @@ def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
         seed_peaks(np.zeros_like(data), target)
         if ls.n == 0:
             return float(np.abs(data).max())
+    # seed BEFORE the first sweep: the residual floor is dominated by
+    # missing weak hot-band lines, so discovering them up front saves a
+    # full deep-LM pass on a line set that cannot explain the data
+    m_pre, _ = window_model_jac(ls, np.arange(ls.n), conds, g)
+    pre_res = float(np.abs(data - m_pre).max())
+    if pre_res > target:
+        seed_peaks(m_pre, max(target * 1.2, pre_res / 20.0), max_new=12)
     wres, m = sweep()
     for _ in range(max_splits):
         if wres <= target:

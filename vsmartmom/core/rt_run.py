@@ -14,6 +14,7 @@ across a TPU slice with zero collectives (elastic path).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -344,6 +345,11 @@ def _build_layer_schedules(tau, omega, min_qp_mu: float, solver: str):
     nd_all = q * np.ceil(np.maximum(nd_all, 1) / q).astype(int)
     dm = 0.004 * min_qp_mu
     ni_all = ns_interaction_iters(tau_scat, min_qp_mu)
+    fixed_ni = os.environ.get("VSM_FIXED_NI")
+    if fixed_ni:
+        # A/B lever for benchmarking the interaction NS adaptivity
+        # (docs/PERF_NOTES.md): force a uniform iteration count
+        ni_all = np.full(len(tau_scat), int(fixed_ni), dtype=int)
     layer_schedules = tuple(
         (int(k), ns_doubling_schedule(dm * 2.0 ** int(k), min_qp_mu,
                                       int(k)),
@@ -513,7 +519,6 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
 
     ndoubl_static, ns_schedule, layer_schedules = build_layer_schedules(
         band.tau, band.omega, min_qp_mu, solver)
-    import os
     doubling_engine = os.environ.get("VSM_DOUBLING_ENGINE", doubling_engine)
     if doubling_engine == "auto":
         # The fused MXU kernel's lane packing (2n+2 rhs columns in one
