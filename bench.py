@@ -193,6 +193,22 @@ def flagship():
             os.environ.pop("VSM_FIXED_NI", None)
         else:
             os.environ["VSM_FIXED_NI"] = prev_ni
+
+    # A/B: the direct/diffuse split engine (bf16x3-safe deviation form,
+    # docs/PERF_NOTES.md round 4) on the same flagship model
+    prev_eng = os.environ.get("VSM_DOUBLING_ENGINE")
+    try:
+        os.environ["VSM_DOUBLING_ENGINE"] = "pallas_dd"
+        t_dd1, t_dd = run_rt()
+        out["flagship_rt_pts_per_s_dd"] = round(n_spec / t_dd, 1)
+        out["flagship_dd_compile_s"] = round(t_dd1 - t_dd, 2)
+    except Exception as e:                     # noqa: BLE001
+        out["flagship_dd_error"] = f"{type(e).__name__}: {e}"
+    finally:
+        if prev_eng is None:
+            os.environ.pop("VSM_DOUBLING_ENGINE", None)
+        else:
+            os.environ["VSM_DOUBLING_ENGINE"] = prev_eng
     return out
 
 

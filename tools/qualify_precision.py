@@ -48,8 +48,23 @@ def main(precisions):
         # runs them through the XLA engine at the same precision; the
         # fused kernel is equivalence-checked against XLA at production
         # size separately below (pallas_vs_xla_delta).
-        kw = dict(dtype=jnp.float32, solver="schulz",
-                  doubling_engine="auto", matmul_precision=prec)
+        #
+        # "dev"-prefixed tokens qualify the direct/diffuse split engines
+        # (core.rt doubling_dev/interaction_dev): "dev_highest" = split
+        # algebra at true-f32 passes (tests the improved f32 floor),
+        # "dev_high" = split algebra with bf16x3 matmuls end-to-end (the
+        # reclaimed round-3 lever; safe only in split form).
+        if prec.startswith("dev"):
+            xla_prec = {"dev": "highest", "dev_highest": "highest",
+                        "dev_high": "high"}[prec]
+            kw = dict(dtype=jnp.float32, solver="schulz",
+                      doubling_engine="xla_dev", matmul_precision=xla_prec)
+        else:
+            # plain tokens pin the PLAIN XLA engine (rt_run_band's "auto"
+            # now resolves to xla_dev at these N — measuring that would
+            # mask the plain path this artifact documents)
+            kw = dict(dtype=jnp.float32, solver="schulz",
+                      doubling_engine="xla", matmul_precision=prec)
 
         r_trues = np.asarray(json.load(open(f"{DATA}/6sv1_r_trues.json")))
         worst6 = 0.0
@@ -121,7 +136,7 @@ def _pallas_vs_xla_delta(prec, n_spec=512):
                                  1.0))))
     sched = tuple(ns_doubling_schedule(tau_scat, mqm, nd))
 
-    def run(engine):
+    def run(engine, mm_prec, dd_prec="bf16x3"):
         comp, _ = _fourier_step(
             *(jax.device_put(args[k]) for k in
               ("tau", "omega", "zw", "z_pp_c", "z_mp_c", "qp", "wt",
@@ -131,10 +146,15 @@ def _pallas_vs_xla_delta(prec, n_spec=512):
             i_mu0_n=static["i_mu0_n"], n_stokes=static["n_stokes"],
             is_m0=True, n_spec=n_spec, solver="schulz", ndoubl_static=nd,
             ns_schedule=sched, doubling_engine=engine,
-            matmul_precision=prec)
+            matmul_precision=mm_prec, dd_precision=dd_prec)
         return np.asarray(comp.j_m)
-    a = run("pallas_step")
-    b = run("xla")
+    if prec.startswith("dev"):
+        dd = "bf16x3" if prec == "dev_high" else "highest"
+        a = run("pallas_dd", "highest", dd)
+        b = run("xla_dev", "highest")
+    else:
+        a = run("pallas_step", prec)
+        b = run("xla", prec)
     return float(np.abs(a - b).max() / np.abs(b).max())
 
 

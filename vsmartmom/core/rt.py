@@ -56,6 +56,48 @@ def vacuum_layer(n_spec: int, n: int, dtype) -> LayerRT:
     return LayerRT(zero_m, zero_m, eye, eye, zero_v, zero_v)
 
 
+class LayerRTDev(NamedTuple):
+    """Slab operator in direct/diffuse split ("deviation") form.
+
+    The transmission operators are carried as T = diag(g) + E with g the
+    DIRECT-BEAM diagonal (pure exponentials exp(-tau/mu), shared by T^++
+    and T^-- — the direct beam is reciprocal) and E the diffuse deviation.
+    This is the classic direct/diffuse separation of RT, used here for a
+    TPU-numerics reason: every matrix product in doubling/interaction then
+    acts on diffuse-scale operands only, so (a) the ~1.0 identity diagonal
+    never rides a matmul — the 3-pass bf16x3 MXU mode's absolute error
+    floor (~2^-16 |A||B|, the dropped a_lo b_lo term) becomes RELATIVE to
+    the diffuse field instead of catastrophic (measured: plain bf16x3
+    fails the accuracy gates at 0.36 rel; split form passes), and (b) the
+    f32 floor of the doubling recursion itself improves ~4x (no repeated
+    near-identity cancellations). No reference counterpart — the reference
+    runs f64 CUBLAS (gpu_batched.jl) and never needed the split.
+    """
+    r_mp: jnp.ndarray
+    r_pm: jnp.ndarray
+    e_pp: jnp.ndarray   # T^++ = diag(g) + e_pp
+    e_mm: jnp.ndarray   # T^-- = diag(g) + e_mm
+    g: jnp.ndarray      # (nSpec, N) direct transmission diagonal
+    j_p: jnp.ndarray
+    j_m: jnp.ndarray
+
+
+def vacuum_layer_dev(n_spec: int, n: int, dtype) -> LayerRTDev:
+    zero_m = jnp.zeros((n_spec, n, n), dtype)
+    zero_v = jnp.zeros((n_spec, n), dtype)
+    return LayerRTDev(zero_m, zero_m, zero_m, zero_m,
+                      jnp.ones((n_spec, n), dtype), zero_v, zero_v)
+
+
+def dev_to_full(dev: LayerRTDev) -> LayerRT:
+    """Reassemble full operators T = diag(g) + E (f32-storage-floor exact)."""
+    n = dev.g.shape[-1]
+    gd = dev.g[:, :, None] * jnp.eye(n, dtype=dev.g.dtype)[None]
+    return LayerRT(r_mp=dev.r_mp, r_pm=dev.r_pm,
+                   t_pp=gd + dev.e_pp, t_mm=gd + dev.e_mm,
+                   j_p=dev.j_p, j_m=dev.j_m)
+
+
 # --- batched linear algebra helpers -----------------------------------------
 
 def bmm(a, b):
@@ -206,7 +248,7 @@ def exp_small(x):
 
 
 def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
-              i0_vec, i_mu0_n, n_stokes, mu0_node):
+              i0_vec, i_mu0_n, n_stokes, mu0_node, split=False):
     """Single-scattering initialization of an elemental layer.
 
     ref: src/CoreRT/CoreKernel/elemental.jl:164-253 (get_elem_rt!/..._SFI!).
@@ -216,6 +258,12 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
     qp, wct2: (N,); i0_vec: (N,) incident Stokes vector embedded at the solar
     node block; mu0_node: scalar, qp[i_mu0_n].
     Returns r_mp, t_pp (nSpec, N, N) and j_p, j_m (nSpec, N).
+
+    ``split=True``: return (r_mp, g, e_pp, j_p, j_m) with T^++ in
+    direct/diffuse form diag(g) + e_pp (see LayerRTDev). The diffuse
+    diagonal is built DIRECTLY from the single-scatter term (never by
+    subtracting exp(-dtau/mu) from the assembled diagonal, which would
+    throw away ~half its f32 mantissa).
     """
     dt = dtau[:, None, None]
     om = omega[:, None, None]
@@ -235,7 +283,8 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
     r_mp = jnp.where(col_mask[None, None, :], r_mp, 0.0)
 
     # T^++ diagonal: e^{-dt/mu_i}(1 + w Z^++_ii (dt/mu_i) w_i)
-    t_diag = exp_i * (1.0 + om * z_pp * (dt / mu_i) * wct2[None, None, :])
+    e_diag = exp_i * (om * z_pp * (dt / mu_i) * wct2[None, None, :])
+    t_diag = exp_i + e_diag
     # T^++ off-diagonal (mu_i != mu_j):
     # e^{-dt/mu_i} - e^{-dt/mu_j} = e^{-dt/mu_j} expm1(dt/mu_j - dt/mu_i)
     denom = jnp.where(same_mu, 1.0, mu_i - mu_j)
@@ -246,12 +295,20 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
     exp_diff = (exp_small(-dt / mu_j)
                 * jnp.expm1(dt * (mu_i - mu_j) / (mu_i * mu_j)))
     t_off = om * z_pp * (mu_j / denom) * wct2[None, None, :] * exp_diff
-    t_pp = jnp.where(same_mu[None, :, :],
-                     jnp.where(eye[None, :, :], t_diag, 0.0),
-                     t_off)
-    # Zero-weight (camera-only) columns transmit attenuated beam only
-    t_pp = jnp.where(col_mask[None, None, :], t_pp,
-                     jnp.where(eye[None, :, :], exp_i * jnp.ones_like(t_pp), 0.0))
+    if split:
+        # diffuse deviation only: same selects as t_pp below, minus diag(g)
+        e_pp = jnp.where(same_mu[None, :, :],
+                         jnp.where(eye[None, :, :], e_diag, 0.0),
+                         t_off)
+        e_pp = jnp.where(col_mask[None, None, :], e_pp, 0.0)
+    else:
+        t_pp = jnp.where(same_mu[None, :, :],
+                         jnp.where(eye[None, :, :], t_diag, 0.0),
+                         t_off)
+        # Zero-weight (camera-only) columns transmit attenuated beam only
+        t_pp = jnp.where(col_mask[None, None, :], t_pp,
+                         jnp.where(eye[None, :, :],
+                                   exp_i * jnp.ones_like(t_pp), 0.0))
 
     # --- SFI solar source vectors (Fell eqs. 1.52-1.54) ---
     z_pp_i0 = bmv(jnp.broadcast_to(z_pp, (dtau.shape[0],) + z_pp.shape[-2:]),
@@ -284,6 +341,11 @@ def elemental(dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
            * (-jnp.expm1(-dt_v * (1.0 / mu_iv + 1.0 / mu0_node))))
 
     atten = jnp.exp(-tau_sum / mu0_node)[:, None]
+    if split:
+        n_sp = dtau.shape[0]
+        g = jnp.broadcast_to(exp_small(-dtau[:, None] / qp[None, :]),
+                             (n_sp, qp.shape[0]))
+        return r_mp, g, e_pp, j_p * atten, j_m * atten
     return r_mp, t_pp, j_p * atten, j_m * atten
 
 
@@ -441,3 +503,179 @@ def interaction(comp: LayerRT, added: LayerRT, eye, rsolve=rsolve_lu) -> LayerRT
 
     return LayerRT(r_mp=r_mp, r_pm=r_pm, t_pp=t_pp, t_mm=t_mm,
                    j_p=j_p, j_m=j_m)
+
+
+# --- direct/diffuse split ("deviation form") engine -------------------------
+#
+# Same doubling-adding algebra as above, with every transmission operator
+# carried as diag(g) + E (see LayerRTDev). The Newton-Schulz solve is run in
+# Y-form: (I - B)^{-1} = I + Y with Y_0 = B, Y <- W + Y(W - Y), W = B + B Y
+# (algebraically the plain iteration with the identity handled exactly).
+# Matmul operands never contain the ~1.0 direct-transmission diagonal, which
+# (a) removes the bf16x3 absolute error floor and (b) improves the plain-f32
+# floor ~4x (measured; docs/PERF_NOTES.md round 4).
+
+def ns_y(rr, iters, mm=bmm):
+    """Y-form Newton-Schulz: Y ~= (I - B)^{-1} - I for B = rr, rho(B) < 1.
+    Iteration-for-iteration identical residual B^(2^(k+1)) to _schulz_m."""
+    y = rr
+    for _ in range(iters):
+        w = rr + mm(rr, y)
+        y = w + mm(y, w - y)
+    return y
+
+
+def y_exact_lu(rr, eye):
+    """Exact Y = (I - B)^{-1} - I = B (I - B)^{-1} (polynomials in B
+    commute) via batched LU — the CPU/f64 twin of ns_y."""
+    return rsolve_lu(rr, eye - rr)
+
+
+def doubling_dev(r_f, g, e_pp, j_p, j_m_f, expk, ns_schedule=None,
+                 exact_eye=None, ndoubl=None, mm=bmm):
+    """Doubling recursion in direct/diffuse split form (flipped space).
+
+    State: r (flipped reflection), T^++ = diag(g) + e_pp, sources, expk.
+    ``ns_schedule``: per-step NS iteration counts (schulz);
+    ``exact_eye``: batched identity -> exact LU Y (CPU/f64 twin), with
+    ``ndoubl`` giving the step count.
+    Algebra check: t' = t M t, r' = r + t M r t, sources as in doubling();
+    each product expanded over diag(g) + E so only diffuse-scale operands
+    ride matmuls.
+    """
+    r, ge, e = r_f, g, e_pp
+    jp, jm, ek = j_p, j_m_f, expk
+    if ek.ndim == 1:
+        ek = ek[:, None]        # Pallas callers pass (S, 1)/(S, pN) blocks
+    steps = (ns_schedule if ns_schedule is not None
+             else [None] * int(ndoubl))
+    n = r.shape[-1]
+    for it in steps:
+        rr = mm(r, r)
+        y = (y_exact_lu(rr, exact_eye) if it is None
+             else ns_y(rr, int(it), mm))
+        j1p = jp * ek
+        j1m = jm * ek
+        pack1 = jnp.concatenate([e, jp[..., None], j1m[..., None]], axis=-1)
+        rp = mm(r, pack1)                  # [r E | r jp | r j1m]
+        rt = r * ge[:, None, :] + rp[..., :n]
+        v1 = j1m + rp[..., n]
+        v2 = jp + rp[..., n + 1]
+        packy = jnp.concatenate(
+            [rt, e, v1[..., None], v2[..., None]], axis=-1)
+        yp = mm(y, packy)                  # [Y rt | Y E | Y v1 | Y v2]
+        mrt = rt + yp[..., :n]
+        d_mt = e + y * ge[:, None, :] + yp[..., n:2 * n]
+        mv1 = v1 + yp[..., 2 * n]
+        mv2 = v2 + yp[..., 2 * n + 1]
+        packe = jnp.concatenate(
+            [mrt, d_mt, mv1[..., None], mv2[..., None]], axis=-1)
+        ep = mm(e, packe)
+        r = r + ge[:, :, None] * mrt + ep[..., :n]
+        e = ge[:, :, None] * d_mt + e * ge[:, None, :] + ep[..., n:2 * n]
+        jm = jm + ge * mv1 + ep[..., 2 * n]
+        jp = j1p + ge * mv2 + ep[..., 2 * n + 1]
+        ge = ge * ge
+        ek = ek * ek
+    return r, ge, e, jp, jm
+
+
+def elemental_flipped_dev(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
+                          i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
+                          ndoubl_static):
+    """Split-form elemental layer in flipped (D-symmetry) space + doubling
+    inputs — the dev twin of elemental_flipped, feeding
+    pallas.layer_step_kernel.fused_layer_step_dev."""
+    ndoubl = int(ndoubl_static)
+    dtau = tau / 2.0 ** ndoubl
+    expk = exp_small(-dtau / mu0)
+    r_mp, g, e_pp, j_p, j_m = elemental(
+        dtau, omega, z_pp, z_mp, qp, wct2, wct02, tau_sum,
+        i0_vec, i_mu0_n, n_stokes, mu0_node, split=True)
+    r_f = d_vec[None, :, None] * r_mp
+    jm_f = d_vec[None, :] * j_m
+    return r_f, g, e_pp, j_p, jm_f, expk
+
+
+def make_added_layer_dev(tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02,
+                         i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
+                         min_qp_mu, ndoubl_static, ns_schedule=None,
+                         exact_eye=None, mm=bmm) -> LayerRTDev:
+    """Elemental + doubling in split form -> D-symmetric added layer.
+    Twin of make_added_layer (XLA engine); g is shared by T^++/T^--
+    (sgn diagonal is +1), e_mm = sgn * e_pp."""
+    ndoubl = int(ndoubl_static)
+    r_f, g, e_pp, j_p, jm_f, expk = elemental_flipped_dev(
+        tau, omega, z_pp, z_mp, tau_sum, qp, wct2, wct02, i0_vec, i_mu0_n,
+        n_stokes, mu0_node, mu0, d_vec, ndoubl)
+    r_f, g, e_pp, j_p, jm_f = doubling_dev(
+        r_f, g, e_pp, j_p, jm_f, expk, ns_schedule=ns_schedule,
+        exact_eye=exact_eye, ndoubl=ndoubl, mm=mm)
+    r_mp = d_vec[None, :, None] * r_f
+    j_m = d_vec[None, :] * jm_f
+    sgn = d_vec[None, :, None] * d_vec[None, None, :]
+    return LayerRTDev(r_mp=r_mp, r_pm=sgn * r_mp, e_pp=e_pp,
+                      e_mm=sgn * e_pp, g=g, j_p=j_p, j_m=j_m)
+
+
+def interaction_dev(comp: LayerRTDev, added: LayerRTDev, ni=None,
+                    exact_eye=None, mm=bmm) -> LayerRTDev:
+    """Adding/interaction in split form (push-through single-solve variant,
+    twin of pallas/layer_step_kernel.py's interaction block).
+
+    ``ni``: Newton-Schulz iterations for (I - r2 R)^{-1} (schulz), or None
+    with ``exact_eye`` for the exact-LU twin. Composite direct diagonal
+    multiplies: g' = g_comp * g_added for both transmissions.
+    """
+    n = comp.r_mp.shape[-1]
+    gc, g2 = comp.g, added.g
+    r2mp, e2, e2mm = added.r_mp, added.e_pp, added.e_mm
+    b1 = mm(r2mp, comp.r_pm)
+    y1 = (y_exact_lu(b1, exact_eye) if ni is None else ns_y(b1, int(ni), mm))
+
+    # r2mp @ [c_tpp | c_jp] and c_rpm @ [t2mm | j2m] (split operands)
+    p1 = mm(r2mp, jnp.concatenate(
+        [comp.e_pp, comp.j_p[..., None]], axis=-1))
+    rc_tpp = r2mp * gc[:, None, :] + p1[..., :n]
+    v1 = p1[..., n] + added.j_m
+    p2 = mm(comp.r_pm, jnp.concatenate(
+        [e2mm, added.j_m[..., None]], axis=-1))
+    crpm_t2mm = comp.r_pm * g2[:, None, :] + p2[..., :n]
+    v2 = comp.j_p + p2[..., n]
+
+    # push-through: y = M1 @ [x1 | r2mp @ x2] with
+    # x1 = [rc_tpp | t2mm | v1], x2 = [c_tpp | crpm_t2mm | v2]; the head of
+    # r2mp @ x2 is rc_tpp again, so it rides the solve once (y_b1 = y_a)
+    p3 = mm(r2mp, jnp.concatenate(
+        [crpm_t2mm, v2[..., None]], axis=-1))   # r2mp@x2 tail (head = rc_tpp)
+    z_small = jnp.concatenate(
+        [rc_tpp, e2mm, v1[..., None], p3], axis=-1)
+    yz = mm(y1, z_small)
+    y_a = rc_tpp + yz[..., :n]                      # M1 @ rc_tpp
+    d2 = e2mm + y1 * g2[:, None, :] + yz[..., n:2 * n]   # M1@t2mm = G2 + d2
+    y_v1 = v1 + yz[..., 2 * n]
+    y_b1 = y_a
+    y_b2 = p3[..., :n] + yz[..., 2 * n + 1:3 * n + 1]
+    y_bv = p3[..., n] + yz[..., 3 * n + 1]
+
+    # o1 = c_tmm @ (M1 @ x1):  c_tmm = diag(gc) + cE_m
+    p4 = mm(comp.e_mm, jnp.concatenate(
+        [y_a, d2, y_v1[..., None]], axis=-1))
+    r_mp = comp.r_mp + gc[:, :, None] * y_a + p4[..., :n]
+    e_mm = (gc[:, :, None] * d2 + comp.e_mm * g2[:, None, :]
+            + p4[..., n:2 * n])
+    j_m = comp.j_m + gc * y_v1 + p4[..., 2 * n]
+
+    # o2 = t2 @ (x2 + c_rpm @ y2):  t2 = diag(g2) + e2
+    p5 = mm(comp.r_pm, jnp.concatenate(
+        [y_b1, y_b2, y_bv[..., None]], axis=-1))
+    i1 = comp.e_pp + p5[..., :n]                # x2 head deviation
+    i2 = crpm_t2mm + p5[..., n:2 * n]
+    iv = v2 + p5[..., 2 * n]
+    p6 = mm(e2, jnp.concatenate([i1, i2, iv[..., None]], axis=-1))
+    e_pp = g2[:, :, None] * i1 + e2 * gc[:, None, :] + p6[..., :n]
+    r_pm = added.r_pm + g2[:, :, None] * i2 + p6[..., n:2 * n]
+    j_p = added.j_p + g2 * iv + p6[..., 2 * n]
+
+    return LayerRTDev(r_mp=r_mp, r_pm=r_pm, e_pp=e_pp, e_mm=e_mm,
+                      g=gc * g2, j_p=j_p, j_m=j_m)

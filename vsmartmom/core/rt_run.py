@@ -52,14 +52,15 @@ class BandRTInputs:
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
                                    "solver", "ndoubl_static",
                                    "ns_schedule", "doubling_engine",
-                                   "matmul_precision", "layer_schedules"))
+                                   "matmul_precision", "layer_schedules",
+                                   "dd_precision"))
 def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                   albedo, spectral_albedo, mu0, mu0_node, min_qp_mu,
                   rho_brdf=None,
                   *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
                   ndoubl_static=None, ns_schedule=None,
                   doubling_engine="xla", matmul_precision="highest",
-                  layer_schedules=None):
+                  layer_schedules=None, dd_precision="bf16x3"):
     """One Fourier moment: layer scan + surface. Returns composite layer."""
     # The doubling recursion amplifies rounding over ~10 iterations/layer:
     # never let the TPU default drop matmul inputs to 1-pass bf16.
@@ -74,7 +75,7 @@ def _fourier_step(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
             ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
             doubling_engine=doubling_engine,
             matmul_precision=matmul_precision,
-            layer_schedules=layer_schedules)
+            layer_schedules=layer_schedules, dd_precision=dd_precision)
 
 
 def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
@@ -83,7 +84,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                        *, i_mu0_n, n_stokes, is_m0, n_spec, solver="lu",
                        ndoubl_static=None, ns_schedule=None,
                        doubling_engine="xla", matmul_precision="highest",
-                       layer_schedules=None):
+                       layer_schedules=None, dd_precision="bf16x3"):
     rsolve = make_rsolve(solver)
     dtype = tau.dtype
     n = qp.shape[0]
@@ -101,8 +102,71 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
         # uniform-profile case: one schedule for every layer
         layer_schedules = ((int(ndoubl_static),
                             tuple(ns_schedule), 4),) * int(tau.shape[0])
-    if (doubling_engine in ("pallas_step", "pallas_step_interpret",
-                            "pallas_lanes", "pallas_lanes_interpret")
+
+    if doubling_engine in ("pallas_dd", "pallas_dd_interpret", "xla_dev"):
+        # Direct/diffuse split ("deviation form") engines: the same
+        # doubling-adding algebra with T = diag(g) + E carried split, so
+        # no matmul operand contains the ~1.0 direct diagonal. The Pallas
+        # variant runs its matmuls in 3-pass bf16x3 (safe ONLY in this
+        # form — docs/PERF_NOTES.md round 4); the XLA variant is its exact
+        # twin for CPU tests / interpret-free fallback.
+        from vsmartmom.core.rt import (dev_to_full, elemental_flipped_dev,
+                                       interaction_dev, make_added_layer_dev,
+                                       vacuum_layer_dev)
+        use_pallas = doubling_engine.startswith("pallas_dd")
+        interp = doubling_engine.endswith("interpret")
+        if use_pallas:
+            from vsmartmom.pallas.layer_step_kernel import fused_layer_step_dev
+        if layer_schedules is None:
+            if ndoubl_static is None:
+                raise ValueError(
+                    "dev-form engines need a static doubling schedule")
+            sched = tuple(ns_schedule) if ns_schedule is not None else None
+            layer_schedules = ((int(ndoubl_static), sched, 4),
+                               ) * int(tau.shape[0])
+        buckets = []
+        for iz, (nd_z, sched_z, ni_z) in enumerate(layer_schedules):
+            sc = tuple(sched_z) if sched_z is not None else None
+            if buckets and buckets[-1][0] == nd_z \
+                    and buckets[-1][1] == sc and buckets[-1][2] == ni_z:
+                buckets[-1] = buckets[-1][:4] + (buckets[-1][4] + 1,)
+            else:
+                buckets.append((nd_z, sc, ni_z, iz, 1))
+        comp = vacuum_layer_dev(n_spec, n, dtype)
+        schulz = solver == "schulz"
+        for nd_z, sched_z, ni_z, start, count in buckets:
+            def scan_body_dev(carry, inputs, _nd=nd_z, _sched=sched_z,
+                              _ni=ni_z):
+                tau_z, omega_z, zw_z, tau_sum_z = inputs
+                z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
+                z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
+                if use_pallas:
+                    r_f, g_el, e_el, jp, jm_f, ek = elemental_flipped_dev(
+                        tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2,
+                        wct02, i0_vec, i_mu0_n, n_stokes, mu0_node, mu0,
+                        d_vec, _nd)
+                    new = fused_layer_step_dev(
+                        carry, r_f, g_el, e_el, jp, jm_f, ek, d_vec,
+                        ns_schedule=_sched, ni=_ni, interpret=interp,
+                        precision_name=dd_precision)
+                else:
+                    added = make_added_layer_dev(
+                        tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2,
+                        wct02, i0_vec, i_mu0_n, n_stokes, mu0_node, mu0,
+                        d_vec, min_qp_mu, ndoubl_static=_nd,
+                        ns_schedule=_sched if schulz else None,
+                        exact_eye=None if schulz else eye)
+                    new = interaction_dev(
+                        carry, added, ni=_ni if schulz else None,
+                        exact_eye=None if schulz else eye)
+                return new, None
+            sl = slice(start, start + count)
+            comp, _ = jax.lax.scan(
+                scan_body_dev, comp,
+                (tau[sl], omega[sl], zw[sl], tau_sum_all[sl]))
+        comp = dev_to_full(comp)
+    elif (doubling_engine in ("pallas_step", "pallas_step_interpret",
+                              "pallas_lanes", "pallas_lanes_interpret")
             and layer_schedules is not None):
         # Per-layer static (ndoubl, NS-schedule). Consecutive layers with
         # the same schedule are bucketed into one lax.scan, so the program
@@ -465,11 +529,15 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     surface-leaving radiance per VZA plus the bi-hemispheric up/downwelling
     fluxes at the surface (ref: rt_run.jl:187-226 RAMI outputs).
     ``doubling_engine``: "auto" picks the fused Pallas layer-step kernel on
-    TPU (f32, forward-only), the XLA batched-matmul path elsewhere; force
-    with "xla" / "pallas_step" / "pallas" / "*_interpret".
+    TPU (f32, forward-only, N <= 63), the XLA direct/diffuse split engine
+    ("xla_dev") on TPU beyond that, and the XLA batched-matmul path
+    elsewhere; force with "xla" / "xla_dev" / "pallas_step" / "pallas_dd"
+    / "pallas" / "*_interpret".
     ``matmul_precision``: "highest" (true f32 MXU passes) or "high"
-    (3-pass bf16, ~1.5x faster, qualified against the 6SV1/Natraj gates on
-    TPU — tools/qualify_precision.py).
+    (3-pass bf16x3 — safe ONLY with the dev-form engines, where it is
+    gate-qualified end-to-end; with the plain engines it fails the gates:
+    data/qualification/precision_r0{3,4}.jsonl). The dev Pallas kernel's
+    own matmul mode comes from env VSM_DD_PRECISION (default bf16x3).
     ``sfi``: True (default) synthesizes radiances from the single-beam
     source vectors J0-/J0+ (exact beam exponentials); False synthesizes
     from the R-+/T++ operator columns at the mu0 node (ref:
@@ -528,11 +596,24 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
         # (pallas/lanes_kernel.py) measured 600x SLOWER on current Mosaic
         # (leading-dim broadcasts scalarize) — never auto-selected.
         usable = (ns_schedule is not None or layer_schedules is not None)
-        doubling_engine = ("pallas_step" if (jax.default_backend() != "cpu"
-                                             and usable
-                                             and dtype == jnp.float32
-                                             and n <= 63)
-                           else "xla")
+        if (jax.default_backend() != "cpu" and usable
+                and dtype == jnp.float32):
+            # n > 63: beyond the fused kernel's lane-packing sweet spot ->
+            # the XLA direct/diffuse split engine. Its improved f32 floor
+            # is what makes TPU f32 pass ALL reference accuracy gates
+            # (incl. Natraj I at N=148 grazing mu, which the plain f32
+            # path fails at 0.00204 vs 0.002 —
+            # data/qualification/precision_r04.jsonl).
+            doubling_engine = "pallas_step" if n <= 63 else "xla_dev"
+        else:
+            doubling_engine = "xla"
+    if (doubling_engine in ("pallas_dd", "pallas_dd_interpret", "xla_dev")
+            and layer_schedules is None and ndoubl_static is None):
+        # dev-form engines always need static per-layer schedules; under
+        # the LU solver the builder's NS data is simply ignored (the dev
+        # branch solves exactly), so borrow the schulz builder's buckets.
+        _, _, layer_schedules = build_layer_schedules(
+            band.tau, band.omega, min_qp_mu, "schulz")
     engine_ctl = {
         "engine": doubling_engine,
         "watchdog_s": float(os.environ.get("VSM_PALLAS_COMPILE_TIMEOUT_S",
@@ -576,7 +657,8 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 n_spec=n_spec, solver=solver,
                 ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
                 matmul_precision=matmul_precision,
-                layer_schedules=layer_schedules)
+                layer_schedules=layer_schedules,
+                dd_precision=os.environ.get("VSM_DD_PRECISION", "bf16x3"))
             comp, hdr_j_m_dev = _call_fourier_step(step_args, step_statics,
                                                    engine_ctl)
         if return_composite:

@@ -54,7 +54,7 @@ def batch_mm(precision):
             return d(ah, bl) + d(al, bh) + d(ah, bh)
         return mm
     return lambda a, b: lax.dot_general(a, b, _BATCH_MM,
-                                        preferred_element_type=jnp.float32,
+                                        preferred_element_type=a.dtype,
                                         precision=precision)
 
 

@@ -123,6 +123,43 @@ def _layer_step_kernel(cr_mp_ref, cr_pm_ref, ct_pp_ref, ct_mm_ref,
     ojp[:] = jp2 + o2[..., 2 * n]
 
 
+def _layer_step_kernel_dev(c_rmp_ref, c_rpm_ref, c_epp_ref, c_emm_ref,
+                           c_g_ref, cjp_ref, cjm_ref,
+                           r_ref, e_ref, g_ref, jp_ref, jm_ref, ek_ref,
+                           d_ref,
+                           o_rmp, o_rpm, o_epp, o_emm, o_g, ojp, ojm,
+                           *, ns_schedule, ni, precision):
+    """Direct/diffuse split ("deviation form") layer step — the bf16x3-safe
+    twin of _layer_step_kernel. The algebra lives ONCE in
+    core.rt.{doubling_dev, interaction_dev} (pure jnp + injected matmul),
+    shared verbatim between this kernel and the XLA dev engine; only the
+    batched-matmul implementation differs (batch_mm precision modes)."""
+    from vsmartmom.core.rt import LayerRTDev, doubling_dev, interaction_dev
+    mm = batch_mm(precision)
+
+    r_f, g2, e2, jp2, jm_f = doubling_dev(
+        r_ref[:], g_ref[:], e_ref[:], jp_ref[:], jm_ref[:], ek_ref[:],
+        ns_schedule=ns_schedule, mm=mm)
+
+    d = d_ref[:]                          # (1, N)
+    r2mp = d[:, :, None] * r_f
+    j2m = d * jm_f
+    sgn = d[:, :, None] * d[:, None, :]
+    added = LayerRTDev(r_mp=r2mp, r_pm=sgn * r2mp, e_pp=e2,
+                       e_mm=sgn * e2, g=g2, j_p=jp2, j_m=j2m)
+    comp = LayerRTDev(r_mp=c_rmp_ref[:], r_pm=c_rpm_ref[:],
+                      e_pp=c_epp_ref[:], e_mm=c_emm_ref[:], g=c_g_ref[:],
+                      j_p=cjp_ref[:], j_m=cjm_ref[:])
+    new = interaction_dev(comp, added, ni=ni, mm=mm)
+    o_rmp[:] = new.r_mp
+    o_rpm[:] = new.r_pm
+    o_epp[:] = new.e_pp
+    o_emm[:] = new.e_mm
+    o_g[:] = new.g
+    ojp[:] = new.j_p
+    ojm[:] = new.j_m
+
+
 # --- XLA-side block-diagonal point packing ----------------------------------
 
 def blockdiag_pack(x, p):
@@ -257,3 +294,78 @@ def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
         out = [o[:n_spec] for o in out]
     return LayerRT(r_mp=out[0], r_pm=out[1], t_pp=out[2], t_mm=out[3],
                    j_p=out[4], j_m=out[5])
+
+
+@functools.partial(jax.jit, static_argnames=("ns_schedule", "ni", "block_s",
+                                             "interpret", "precision_name"))
+def fused_layer_step_dev(comp, r_f, g_el, e_el, jp, jm_f, ek, d_vec, *,
+                         ns_schedule: tuple, ni: int = 4, block_s: int = 16,
+                         interpret: bool = False,
+                         precision_name: str = "bf16x3"):
+    """Direct/diffuse split layer step (see _layer_step_kernel_dev).
+
+    comp is a core.rt.LayerRTDev pytree; the elemental layer arrives
+    pre-split (r_f/e_el (nSpec, N, N), g_el/jp/jm_f (nSpec, N), ek
+    (nSpec,)). Defaults to 3-pass bf16x3 matmuls — safe here because no
+    operand carries the ~1.0 direct diagonal (docs/PERF_NOTES.md round 4).
+    Point packing is not offered: the split form has no in-kernel identity,
+    and packing was measured cost-neutral at these shapes.
+    """
+    from vsmartmom.core.rt import LayerRTDev
+
+    n_spec, n, _ = r_f.shape
+    pad = (-n_spec) % block_s
+    mats = [comp.r_mp, comp.r_pm, comp.e_pp, comp.e_mm]
+    vecs = [comp.g, comp.j_p, comp.j_m]
+    amats = [r_f, e_el]
+    avecs = [g_el, jp, jm_f]
+    if pad:
+        zm = [(0, pad), (0, 0), (0, 0)]
+        zv = [(0, pad), (0, 0)]
+        # padded points are vacuum slabs: g = 1, everything else 0 -> inert
+        mats = [jnp.pad(m, zm) for m in mats]
+        vecs = [jnp.pad(comp.g, zv, constant_values=1.0),
+                jnp.pad(comp.j_p, zv), jnp.pad(comp.j_m, zv)]
+        amats = [jnp.pad(m, zm) for m in amats]
+        avecs = [jnp.pad(g_el, zv, constant_values=1.0),
+                 jnp.pad(jp, zv), jnp.pad(jm_f, zv)]
+        ek = jnp.pad(ek, [(0, pad)], constant_values=1.0)
+    n_pad = n_spec + pad
+    precision = {"bf16x3": "bf16x3",
+                 "highest": lax.Precision.HIGHEST,
+                 "default": lax.Precision.DEFAULT}[precision_name]
+
+    grid = (n_pad // block_s,)
+    mat_spec = pl.BlockSpec((block_s, n, n), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((block_s, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    ek_spec = pl.BlockSpec((block_s, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_layer_step_kernel_dev,
+                             ns_schedule=tuple(ns_schedule), ni=int(ni),
+                             precision=precision)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024)
+    mshape = jax.ShapeDtypeStruct((n_pad, n, n), r_f.dtype)
+    vshape = jax.ShapeDtypeStruct((n_pad, n), r_f.dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[mat_spec] * 4 + [vec_spec] * 3
+                 + [mat_spec] * 2 + [vec_spec] * 3 + [ek_spec, d_spec],
+        out_specs=[mat_spec] * 4 + [vec_spec] * 3,
+        out_shape=[mshape] * 4 + [vshape] * 3,
+        interpret=interpret,
+        **kwargs,
+    )(*mats, *vecs, *amats, *avecs, ek.reshape(n_pad, 1),
+      jnp.asarray(d_vec, r_f.dtype).reshape(1, n))
+    if pad:
+        out = [o[:n_spec] for o in out]
+    return LayerRTDev(r_mp=out[0], r_pm=out[1], e_pp=out[2], e_mm=out[3],
+                      g=out[4], j_p=out[5], j_m=out[6])
