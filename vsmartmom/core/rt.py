@@ -160,6 +160,12 @@ def make_rsolve(solver: str = "lu", schulz_iters: int = 4):
         return bmm(left, bmm(_schulz_m(a), x))
 
     rsolve_schulz.apply = _schulz_apply
+    # Raman fast path: the approximate right-inverse M(A) is POINTWISE in
+    # the spectral batch, so callers that need the same solve at gathered
+    # spectral indices (banded Raman shifts) can materialize M once and
+    # gather it — M(gather(A)) == gather(M(A)) exactly. Saves the per-shift
+    # Newton-Schulz recomputation (~2x on the RRS path, rt_raman.py).
+    rsolve_schulz.materialize_m = _schulz_m
     return rsolve_schulz
 
 

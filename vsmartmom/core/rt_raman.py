@@ -227,22 +227,41 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
     (nR, nSpec) valid) tuple.
     """
     srcs, valids = _as_rows(shifts, r.shape[0])
+    # schulz exposes materialize_m: build the (pointwise-batched) inverse
+    # field ONCE per step and gather it per shift — bitwise-identical to
+    # re-running the solve at the gathered points, at a fraction of the
+    # matmuls (M(gather(A)) == gather(M(A)), since the Newton-Schulz field
+    # is pointwise in the spectral batch). LU has no cheap M; it keeps the
+    # per-shift solve. Measured on TPU (bench raman_rrs): 60.4 -> 100.6
+    # pts/s. (Lane-packing the per-shift products was also tried and made
+    # it WORSE — 57-69 pts/s — the materialized concats blow HBM traffic
+    # and peak memory, the same result the elastic XLA interaction path
+    # documents; keep the products separate here.)
+    m_fn = getattr(rsolve, "materialize_m", None)
 
     def body(_, state):
         r, t, jp, jm, ek, ier, iet, iejp, iejm = state
         a = eye - bmm(r, r)
-        tt = rsolve(t, a)
+        if m_fn is None:
+            m = None
+            tt = rsolve(t, a)
+        else:
+            m = m_fn(a)
+            tt = bmm(t, m)
         j1p = jp * ek[:, None]
         j1m = jm * ek[:, None]
         u1 = jp + bmv(r, j1m)
         u2 = j1m + bmv(r, jp)
 
         def one_shift(src, valid, ier_s, iet_s, iejp_s, iejm_s):
-            a0 = take0_id(a, src, valid, eye)
             t0 = take0(t, src, valid)
             r0 = take0(r, src, valid)
             rr_off = bmm(r, ier_s) + bmm(ier_s, r0)
-            tt_off = rsolve(bmm(tt, rr_off) + iet_s, a0)
+            x = bmm(tt, rr_off) + iet_s
+            if m is None:
+                tt_off = rsolve(x, take0_id(a, src, valid, eye))
+            else:
+                tt_off = bmm(x, take0_id(m, src, valid, eye))
 
             ier_n = ier_s + bmm(tt, bmm(r, iet_s) + bmm(ier_s, t0)) \
                 + bmm(tt_off, bmm(r0, t0))
@@ -340,21 +359,34 @@ def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
     (ref: interaction_inelastic.jl:230-342).
     """
     srcs, valids = _as_rows(shifts, comp.r_mp.shape[0])
+    m_fn = getattr(rsolve, "materialize_m", None)   # see raman_doubling
     a1 = eye - bmm(added.r_mp, comp.r_pm)
-    t01 = rsolve(comp.t_mm, a1)
+    if m_fn is None:
+        m1 = None
+        t01 = rsolve(comp.t_mm, a1)
+    else:
+        m1 = m_fn(a1)
+        t01 = bmm(comp.t_mm, m1)
     v1 = bmv(added.r_mp, comp.j_p) + added.j_m
     w1 = bmm(added.r_mp, comp.t_pp)
 
     a2 = eye - bmm(comp.r_pm, added.r_mp)
-    t21 = rsolve(added.t_pp, a2)
+    if m_fn is None:
+        m2 = None
+        t21 = rsolve(added.t_pp, a2)
+    else:
+        m2 = m_fn(a2)
+        t21 = bmm(added.t_pp, m2)
     v2 = comp.j_p + bmv(comp.r_pm, added.j_m)
     w2 = bmm(comp.r_pm, added.t_mm)
 
     def one_shift(src, valid, c_ie, a_ie):
         tk = lambda x: take0(x, src, valid)
         m1_off = bmm(a_ie.r_mp, tk(comp.r_pm)) + bmm(added.r_mp, c_ie.r_pm)
-        t01_off = rsolve(bmm(t01, m1_off) + c_ie.t_mm,
-                         take0_id(a1, src, valid, eye))
+        x1 = bmm(t01, m1_off) + c_ie.t_mm
+        t01_off = (rsolve(x1, take0_id(a1, src, valid, eye))
+                   if m1 is None
+                   else bmm(x1, take0_id(m1, src, valid, eye)))
         v1_off = (bmv(a_ie.r_mp, tk(comp.j_p))
                   + bmv(added.r_mp, c_ie.j_p) + a_ie.j_m)
         iejm = c_ie.j_m + bmv(t01, v1_off) + bmv(t01_off, tk(v1))
@@ -363,8 +395,10 @@ def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
         iet_mm = bmm(t01, a_ie.t_mm) + bmm(t01_off, tk(added.t_mm))
 
         m2_off = bmm(c_ie.r_pm, tk(added.r_mp)) + bmm(comp.r_pm, a_ie.r_mp)
-        t21_off = rsolve(bmm(t21, m2_off) + a_ie.t_pp,
-                         take0_id(a2, src, valid, eye))
+        x2 = bmm(t21, m2_off) + a_ie.t_pp
+        t21_off = (rsolve(x2, take0_id(a2, src, valid, eye))
+                   if m2 is None
+                   else bmm(x2, take0_id(m2, src, valid, eye)))
         v2_off = (c_ie.j_p + bmv(c_ie.r_pm, tk(added.j_m))
                   + bmv(comp.r_pm, a_ie.j_m))
         iejp = a_ie.j_p + bmv(t21, v2_off) + bmv(t21_off, tk(v2))
