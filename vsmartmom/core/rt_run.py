@@ -625,6 +625,28 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     run_banner(pol, quad, n_spec, band.tau.shape[0], max_m, surface,
                doubling_engine, solver, dtype)
 
+    # Spectral padding ONCE at the driver instead of inside every fused
+    # kernel call: a non-multiple-of-block nSpec made fused_layer_step pad
+    # (copy) all 12 composite+elemental arrays per LAYER per moment
+    # (~25 GB of copies on the flagship). Padded points edge-replicate the
+    # last spectral column (finite physics, discarded at the fetch).
+    pad_spec = 0
+    if doubling_engine.startswith(("pallas_step", "pallas_dd",
+                                   "pallas_lanes")):
+        pad_spec = (-n_spec) % 16          # fused kernels' block_s
+    tau_in, omega_in, zw_in = band.tau, band.omega, band.zw
+    spectral_albedo_in = spectral_albedo
+    if pad_spec:
+        rep = lambda a: np.concatenate(
+            [a, np.repeat(np.asarray(a)[..., -1:], pad_spec, axis=-1)],
+            axis=-1)
+        tau_in, omega_in, zw_in = rep(tau_in), rep(omega_in), rep(zw_in)
+        if spectral_albedo is not None:
+            spectral_albedo_in = jnp.concatenate(
+                [spectral_albedo,
+                 jnp.repeat(spectral_albedo[-1:], pad_spec)])
+    n_spec_run = n_spec + pad_spec
+
     to_dev = lambda x: jnp.asarray(x, dtype)
     comps = []
     for m in range(max_m):
@@ -646,21 +668,24 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
 
         with timeit("fourier step (layer scan + surface)"):
             step_args = (
-                to_dev(band.tau), to_dev(band.omega), to_dev(band.zw),
+                to_dev(tau_in), to_dev(omega_in), to_dev(zw_in),
                 z_pp_c, z_mp_c, to_dev(quad.qp_mu_n), to_dev(quad.wt_mu_n),
                 to_dev(d_vec), to_dev(i0_vec), jnp.asarray(albedo, dtype),
-                spectral_albedo, jnp.asarray(quad.mu0, dtype),
+                spectral_albedo_in, jnp.asarray(quad.mu0, dtype),
                 jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
                 rho_brdf)
             step_statics = dict(
                 i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
-                n_spec=n_spec, solver=solver,
+                n_spec=n_spec_run, solver=solver,
                 ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
                 matmul_precision=matmul_precision,
                 layer_schedules=layer_schedules,
                 dd_precision=os.environ.get("VSM_DD_PRECISION", "bf16x3"))
             comp, hdr_j_m_dev = _call_fourier_step(step_args, step_statics,
                                                    engine_ctl)
+        if pad_spec:
+            comp = jax.tree.map(lambda x: x[:n_spec], comp)
+            hdr_j_m_dev = hdr_j_m_dev[:n_spec]
         if return_composite:
             comps.append(jax.tree.map(np.asarray, comp))
 
