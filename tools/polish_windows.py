@@ -31,6 +31,21 @@ from fit_linelist import (GRID, LineSet, STATE_DIR, load_conditions,  # noqa
 PAD = 0.35      # co-fit margin around each window core [cm^-1]
 GPAD = 2.0      # extra grid margin for the data slice [cm^-1]
 
+# VSM_FIT_TPU=1: run the inner LM on the TPU (tools/fit_tpu.py). Requires
+# --procs=1 (one TPU client per process). The block-level accept/reject
+# stays in f64 wofz on the host, so the device can only improve a block.
+_TPU_FIT = os.environ.get("VSM_FIT_TPU") == "1"
+_QRATIO_CACHE: dict = {}
+
+
+def _tpu_qratios(ls, conds):
+    key = (ls.mol_id, tuple(t for t, _ in conds))
+    if key not in _QRATIO_CACHE:
+        from vsmartmom.spectroscopy import tips
+        _QRATIO_CACHE[key] = np.asarray(
+            [tips.qoft_ratio(ls.mol_id, 1, t) for t, _ in conds])
+    return _QRATIO_CACHE[key]
+
 
 def bad_windows(resid, target, min_gap=0.8, max_width=3.0):
     """Merge over-target grid points into DISJOINT [lo, hi) core intervals,
@@ -153,6 +168,24 @@ def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
         """LM on the ``idx`` subset; other lines frozen into base_model."""
         m_sub, _ = window_model_jac(ls, idx, conds, g)
         d_blk = data - (base_model - m_sub)
+        if _TPU_FIT:
+            # device-resident LM (tools/fit_tpu.py); the f64 wofz
+            # accept/reject below means f32 can only propose
+            import fit_tpu
+            old = ls.theta[idx].copy()
+            r0 = (d_blk - m_sub).ravel()
+            cost0 = float(r0 @ r0)
+            th_new = fit_tpu.device_lm(
+                ls.theta[idx], d_blk, g, conds, _tpu_qratios(ls, conds),
+                ls.weight, (a - PAD - 0.2, b + PAD + 0.2),
+                iters=max(2 * iters, 300))
+            ls.theta[idx] = th_new
+            m, _ = window_model_jac(ls, idx, conds, g)
+            r1 = (d_blk - m).ravel()
+            if float(r1 @ r1) >= cost0:
+                ls.theta[idx] = old
+                m = m_sub
+            return base_model - m_sub + m
         lm = 1e-6
         prev = None
         best = ls.theta[idx].copy()
