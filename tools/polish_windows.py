@@ -107,7 +107,7 @@ def _init_from_peak(molecule, nu_pk, heights, conds, weight, mol_id):
 
 
 def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
-            block=36):
+            block=36, seed=True):
     """Deep LM on the window's LineSet against ``data`` (the spectrum the
     window's lines must explain). Mutates ls; returns window residual.
 
@@ -263,7 +263,7 @@ def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
     # full deep-LM pass on a line set that cannot explain the data
     m_pre, _ = window_model_jac(ls, np.arange(ls.n), conds, g)
     pre_res = float(np.abs(data - m_pre).max())
-    if pre_res > target:
+    if seed and pre_res > target:
         seed_peaks(m_pre, max(target * 1.2, pre_res / 20.0), max_new=12)
     wres, m = sweep()
     for _ in range(max_splits):
@@ -275,36 +275,103 @@ def lm_core(ls, conds, data, g, a, b, target, iters=150, max_splits=10,
     return wres
 
 
+def _model_only(theta, conds, g, molecule):
+    """Model synthesis without the Jacobian (the wide-slice guard needs
+    ~8500-point grids where window_model_jac's jac array would be ~GB)."""
+    from scipy.special import wofz
+    from fit_linelist import (SQRT_LN2, SQRT_LN2_DIV_SQRT_PI,
+                              cond_factors_subset)
+    sub = LineSet(molecule)
+    sub.theta = theta
+    facs = cond_factors_subset(sub, np.arange(len(theta)), conds)
+    m = np.zeros((len(conds), len(g)))
+    if len(theta) == 0:
+        return m
+    nu0 = theta[:, 0]
+    for c, (nu_c, s, g_d, g_l) in enumerate(facs):
+        z = (SQRT_LN2 / g_d)[:, None] * ((g[None, :] - nu_c[:, None])
+                                         + 1j * g_l[:, None])
+        prof = (SQRT_LN2_DIV_SQRT_PI / g_d)[:, None] * wofz(z).real
+        mask = np.abs(g[None, :] - nu0[:, None]) <= 40.0
+        m[c] = np.where(mask, s[:, None] * prof, 0.0).sum(axis=0)
+    return m
+
+
 def _work(task):
     """One window: returns (win, wres, core_idx, new_core_theta, added)."""
-    (a, b), theta_snap, idx_all, data, g, conds, target, molecule = task
+    ((a, b), theta_snap, idx_all, data, g, conds, target, molecule,
+     g_wide, resid_wide) = task
+    # Fit CORE lines only; PAD lines (owned by neighboring cores) enter as
+    # a FROZEN background contribution. Letting the fit move pad lines and
+    # then merging only the core rows ships a state the fit never saw —
+    # the core lines co-adapted to pad values that are thrown away. The
+    # CPU LM drifted pads too little to notice; the TPU LM exploited them
+    # hard (observed: every window "improved" locally while the merged
+    # GLOBAL max regressed 1.6e-24 -> 2.5e-22).
+    core_snap = (theta_snap[:, 0] >= a) & (theta_snap[:, 0] < b)
+    pad_rows = theta_snap[~core_snap]
+    m_pad = (_model_only(pad_rows, conds, g, molecule)
+             if len(pad_rows) else np.zeros_like(data))
+    data_c = data - m_pad
     ls = LineSet(molecule)
-    ls.theta = theta_snap.copy()
+    ls.theta = theta_snap[core_snap].copy()
     n_orig = ls.n
-    # initial residual of THIS window's lines against their data slice:
-    # a fit that ends worse than it started must not be merged (core-only
-    # freezing of drifted lines can break co-fit consistency)
     if n_orig:
         m0, _ = window_model_jac(ls, np.arange(n_orig), conds, g)
     else:
         m0 = np.zeros_like(data)
-    wres0 = float(np.abs(data - m0).max())
-    wres = lm_core(ls, conds, data, g, a, b, target)
+    wres0 = float(np.abs(data_c - m0).max())
+    reject = ((a, b), wres0, idx_all[core_snap], theta_snap[core_snap],
+              np.zeros((0, 6)))
+    wres = lm_core(ls, conds, data_c, g, a, b, target)
     if wres > wres0:
-        core = (theta_snap[:, 0] >= a) & (theta_snap[:, 0] < b)
-        return (a, b), wres0, idx_all[core], theta_snap[core], \
-            np.zeros((0, 6))
-    # ownership by ORIGINAL position: cores are disjoint in snap coords, so
-    # each line index is updated by exactly one window. Judging by CURRENT
-    # position instead lets a pad line that drifted into the core be claimed
-    # by two adjacent windows fitted in parallel — last-write-wins then
-    # breaks both windows' co-fit consistency (observed as a 1.6e-24 ->
-    # 1.2e-22 regression after a mid-round checkpoint).
-    core = (theta_snap[:, 0] >= a) & (theta_snap[:, 0] < b)
-    upd_idx = idx_all[core]
-    upd_theta = ls.theta[:n_orig][core]
+        return reject
+    # Wide-slice (+- wing-cutoff) guard: a fit can look better on its
+    # +-GPAD slice while its changed/added lines' 40 cm^-1 Voigt wings
+    # poison the model elsewhere (observed: a full accepted round moved
+    # the GLOBAL max 1.6e-24 -> 2.6e-22 while every window improved
+    # locally). Reject any merge that increases the residual anywhere in
+    # the window's wing reach.
+    if g_wide is not None:
+        out = (g_wide < a - PAD - GPAD) | (g_wide >= b + PAD + GPAD)
+
+        def wide_ok():
+            # pads are frozen, so only core rows changed (they cancel in
+            # resid_wide otherwise)
+            m0w = _model_only(theta_snap[core_snap], conds, g_wide,
+                              molecule)
+            m1w = _model_only(ls.theta, conds, g_wide, molecule)
+            delta = (np.abs(resid_wide + m0w - m1w)
+                     - np.abs(resid_wide))[:, out]
+            # pointwise: no point beyond the fit slice may worsen by more
+            # than a fraction of the target per merge
+            return float(delta.max()) <= 0.25 * target
+
+        if np.any(out) and not wide_ok():
+            # usually a seeded line whose wings leak: retry without adding
+            # lines (polish the existing set only)
+            ls.theta = theta_snap[core_snap].copy()
+            wres = lm_core(ls, conds, data_c, g, a, b, target,
+                           max_splits=0, seed=False)
+            if wres > wres0 or (np.any(out) and not wide_ok()):
+                return reject
+    # ownership by ORIGINAL position: cores are disjoint in snap coords
+    # (and pads are frozen), so each line index is updated by exactly one
+    # window and the merged state is exactly the fitted one. Seeded lines
+    # that drifted out of the core are dropped — and the remaining set is
+    # re-validated, since the fit relied on them.
+    added_all = ls.theta[n_orig:]
+    keep = (added_all[:, 0] >= a) & (added_all[:, 0] < b)
+    if not np.all(keep):
+        ls.theta = np.vstack([ls.theta[:n_orig], added_all[keep]])
+        m_k, _ = window_model_jac(ls, np.arange(ls.n), conds, g)
+        wres = float(np.abs(data_c - m_k).max())
+        if wres > wres0 or (g_wide is not None and np.any(out)
+                            and not wide_ok()):
+            return reject
+    upd_idx = idx_all[core_snap]
+    upd_theta = ls.theta[:n_orig]
     added = ls.theta[n_orig:]
-    added = added[(added[:, 0] >= a) & (added[:, 0] < b)]
     return (a, b), wres, upd_idx, upd_theta, added
 
 
@@ -345,8 +412,11 @@ def main(molecule, target, hours, procs, outer=8):
             else:
                 m0 = 0.0
             data = Y[:, g_lo:g_hi] - (M[:, g_lo:g_hi] - m0)
+            w_lo = np.searchsorted(GRID, a - PAD - 41.0)
+            w_hi = np.searchsorted(GRID, b + PAD + 41.0, side="right")
             tasks.append(((a, b), ls.theta[idx_all], idx_all, data, g,
-                          conds, target, molecule))
+                          conds, target, molecule, GRID[w_lo:w_hi],
+                          Y[:, w_lo:w_hi] - M[:, w_lo:w_hi]))
 
         if procs == 1:
             # serial mode (CPU-quota-bound hosts): checkpoint as we go and
