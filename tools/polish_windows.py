@@ -47,10 +47,12 @@ def _tpu_qratios(ls, conds):
     return _QRATIO_CACHE[key]
 
 
-def bad_windows(resid, target, min_gap=0.8, max_width=3.0):
+def bad_windows(resid, target, min_gap=0.8, max_width=3.0, phase=0):
     """Merge over-target grid points into DISJOINT [lo, hi) core intervals,
     chopped to max_width (a 50 cm^-1 mega-window would need a ~GB
-    Jacobian)."""
+    Jacobian). ``phase`` (round parity) staggers the chop boundaries so a
+    line frozen as a PAD of one round's chunk becomes CORE of the next —
+    without it, fits stall on features that need a boundary line moved."""
     bad = np.abs(resid).max(axis=0) > target
     idx = np.where(bad)[0]
     if len(idx) == 0:
@@ -67,9 +69,20 @@ def bad_windows(resid, target, min_gap=0.8, max_width=3.0):
     merged.append((lo, hi))
     out = []
     for lo, hi in merged:
-        n_chunk = max(1, int(np.ceil((hi - lo + 0.02) / max_width)))
-        edges = np.linspace(lo - 0.01, hi + 0.01, n_chunk + 1)
-        out.extend(zip(edges[:-1], edges[1:]))
+        span = hi - lo + 0.02
+        if phase % 2 == 1 and span > max_width:
+            # odd rounds: a half-width leading chunk staggers every
+            # subsequent boundary by max_width/2
+            cut = lo - 0.01 + 0.5 * max_width
+            out.append((lo - 0.01, cut))
+            lo2, hi2 = cut, hi + 0.01
+            n_chunk = max(1, int(np.ceil((hi2 - lo2) / max_width)))
+            edges = np.linspace(lo2, hi2, n_chunk + 1)
+            out.extend(zip(edges[:-1], edges[1:]))
+        else:
+            n_chunk = max(1, int(np.ceil(span / max_width)))
+            edges = np.linspace(lo - 0.01, hi + 0.01, n_chunk + 1)
+            out.extend(zip(edges[:-1], edges[1:]))
     return out
 
 
@@ -384,7 +397,7 @@ def main(molecule, target, hours, procs, outer=8):
     for rnd in range(outer):
         M = synth_full(ls, conds)
         g_res = float(np.abs(Y - M).max())
-        wins = bad_windows(Y - M, target)
+        wins = bad_windows(Y - M, target, phase=rnd)
         print(f"[{molecule}] polish round {rnd}: {ls.n} lines, "
               f"max|resid| = {g_res:.3e}, {len(wins)} bad windows",
               flush=True)
@@ -425,9 +438,19 @@ def main(molecule, target, hours, procs, outer=8):
             for ti, task in enumerate(tasks):
                 results.append(_work(task))
                 if ti % 5 == 4:
-                    for (_a, _b), _w, ui, ut, ad in results[-5:]:
-                        ls.theta[ui] = ut
-                    ls.save(path)
+                    # checkpoint must be CONSISTENT: updated cores AND
+                    # their seeded lines together (same fix as the pool
+                    # path below — cores co-adapted to the adds)
+                    snap = LineSet(molecule)
+                    snap.theta = ls.theta.copy()
+                    new_rows = []
+                    for (_a, _b), _w, ui, ut, ad in results:
+                        snap.theta[ui] = ut
+                        if len(ad):
+                            new_rows.append(ad)
+                    if new_rows:
+                        snap.add(np.vstack(new_rows))
+                    snap.save(path)
                     print(f"[{molecule}]   {ti + 1}/{len(tasks)} windows "
                           f"(worst-first), wres={results[-1][1]:.2e}",
                           flush=True)
