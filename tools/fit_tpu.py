@@ -122,10 +122,11 @@ def _lm_scan(th0, data, g_off, gmask, lmask, cond_t, cond_p, qratio,
         # damping: decrease while descending, jump up when cost rose
         descending = cost <= prev
         lm = jnp.where(descending, jnp.maximum(lm * 0.5, 1e-10), lm * 8.0)
+        # rejected step: fall back to the best accepted point (branchless,
+        # so the Jacobian is re-evaluated at the chosen base either way)
         th_base = jnp.where(descending, th, best_th)
-        if True:   # recompute at base when rejected (cheap: reuse if same)
-            m_b, jac_b = model_jac(th_base)
-            _, r_b = cost_of(m_b)
+        m_b, jac_b = model_jac(th_base)
+        _, r_b = cost_of(m_b)
         j2 = (jac_b * wmask[:, None, :, None]).transpose(0, 2, 1, 3)
         j2 = j2.reshape(n_c * g_off.shape[0], n_l * 6)     # (CG, P)
         rv = r_b.reshape(-1)
