@@ -132,6 +132,49 @@ def test_rt_run_band_pallas_scan_engine_matches_xla():
     np.testing.assert_allclose(T_p, T_x, rtol=5e-6, atol=1e-9)
 
 
+def test_rt_run_band_pallas_scan_bucketed():
+    """Bucketed fused layer-scan engine (per-layer static schedules on a
+    widely-spread profile -> MULTIPLE chained kernels, composite passed
+    kernel-to-kernel) == the XLA engine running the identical quantized
+    schedules. Also covers the vacuum-composite first step (interaction
+    with R=0, T=I is exact — layer_scan_kernel.py)."""
+    from vsmartmom.core.rt_run import (BandRTInputs, build_layer_schedules,
+                                       rt_run_band)
+    from vsmartmom.scattering.phase import Polarization, get_greek_rayleigh
+    from vsmartmom.util.quadrature import rt_set_streams
+
+    pol = Polarization.from_name("Stokes_IQU")
+    quad = rt_set_streams("GaussQuadFullSphere", 8, 45.0, [10.0], pol.n)
+    rng = np.random.default_rng(5)
+    n_z, n_spec = 6, 8
+    tau_scat = (np.array([1e-4, 1e-3, 0.01, 0.05, 0.3, 1.0])[:, None]
+                * np.ones((1, n_spec)))
+    tau = tau_scat + rng.uniform(0, 0.3, (n_z, n_spec))
+    band = BandRTInputs(tau=tau, omega=tau_scat / tau,
+                        zw=np.ones((n_z, 1, n_spec)),
+                        greeks=[get_greek_rayleigh(0.03)])
+    # engage the per-layer (bucketed) path, not the uniform one
+    min_qp_mu = float(np.min(quad.qp_mu))
+    _, _, scheds = build_layer_schedules(tau, tau_scat / tau, min_qp_mu,
+                                         "schulz")
+    assert scheds is not None and len({s[:2] for s in scheds}) >= 2
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.2}
+    kw = dict(dtype=jnp.float32, solver="schulz")
+    R64, _ = rt_run_band(pol, quad, band, [10.0], [30.0], 2, surf)
+    R_x, T_x = rt_run_band(pol, quad, band, [10.0], [30.0], 2, surf,
+                           doubling_engine="xla", **kw)
+    R_p, T_p = rt_run_band(pol, quad, band, [10.0], [30.0], 2, surf,
+                           doubling_engine="pallas_scan_interpret", **kw)
+    # vs the same-schedule XLA f32 engine: the kernel's in-kernel Taylor
+    # _expm1 rounds differently from correctly-rounded expm1 (~2e-7/use),
+    # accumulating ~1e-6 over a 12-step doubling — normalized criterion,
+    # same as the fused-step schedules test below
+    assert np.abs(R_p - R_x).max() / np.abs(R_x).max() < 5e-5
+    assert np.abs(T_p - T_x).max() / np.abs(T_x).max() < 5e-5
+    # physical accuracy vs f64 (well inside the 6SV1/Natraj gates)
+    assert np.abs(R_p - R64).max() / np.abs(R64).max() < 2e-3
+
+
 def test_fused_layer_step_per_layer_schedules():
     """Per-layer static (ndoubl, NS-schedule) path (engaged for real
     profiles whose doubling counts spread widely, e.g. the 34-layer

@@ -25,8 +25,9 @@ from multiprocessing import Pool
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
-from fit_linelist import (GRID, LineSet, STATE_DIR, load_conditions,  # noqa
-                          synth_full, window_model_jac, init_line)
+from fit_linelist import (GRID, LineSet, STATE_DIR, WING,  # noqa
+                          load_conditions, synth_full, window_model_jac,
+                          init_line)
 
 PAD = 0.35      # co-fit margin around each window core [cm^-1]
 GPAD = 2.0      # extra grid margin for the data slice [cm^-1]
@@ -305,7 +306,7 @@ def _model_only(theta, conds, g, molecule):
         z = (SQRT_LN2 / g_d)[:, None] * ((g[None, :] - nu_c[:, None])
                                          + 1j * g_l[:, None])
         prof = (SQRT_LN2_DIV_SQRT_PI / g_d)[:, None] * wofz(z).real
-        mask = np.abs(g[None, :] - nu0[:, None]) <= 40.0
+        mask = np.abs(g[None, :] - nu0[:, None]) <= WING
         m[c] = np.where(mask, s[:, None] * prof, 0.0).sum(axis=0)
     return m
 
@@ -394,9 +395,23 @@ def main(molecule, target, hours, procs, outer=8):
     path = os.path.join(STATE_DIR, f"{molecule}_fit.npz")
     ls.load(path)
     t_end = time.time() + hours * 3600.0
+    prev_theta, prev_res = None, np.inf
     for rnd in range(outer):
         M = synth_full(ls, conds)
         g_res = float(np.abs(Y - M).max())
+        # Global re-validation of the previous round's merge (the wide-
+        # slice guard bounds per-merge wing damage only; many merges can
+        # cumulatively worsen a point). If the merged state regressed the
+        # GLOBAL max, revert to the previous round's state.
+        if prev_theta is not None and g_res > prev_res:
+            print(f"[{molecule}] round {rnd - 1} merge regressed the "
+                  f"global max ({prev_res:.3e} -> {g_res:.3e}); reverting",
+                  flush=True)
+            ls.theta = prev_theta
+            ls.save(path)
+            M = synth_full(ls, conds)
+            g_res = float(np.abs(Y - M).max())
+        prev_theta, prev_res = ls.theta.copy(), g_res
         wins = bad_windows(Y - M, target, phase=rnd)
         print(f"[{molecule}] polish round {rnd}: {ls.n} lines, "
               f"max|resid| = {g_res:.3e}, {len(wins)} bad windows",
@@ -425,8 +440,9 @@ def main(molecule, target, hours, procs, outer=8):
             else:
                 m0 = 0.0
             data = Y[:, g_lo:g_hi] - (M[:, g_lo:g_hi] - m0)
-            w_lo = np.searchsorted(GRID, a - PAD - 41.0)
-            w_hi = np.searchsorted(GRID, b + PAD + 41.0, side="right")
+            w_lo = np.searchsorted(GRID, a - PAD - (WING + 1.0))
+            w_hi = np.searchsorted(GRID, b + PAD + (WING + 1.0),
+                                   side="right")
             tasks.append(((a, b), ls.theta[idx_all], idx_all, data, g,
                           conds, target, molecule, GRID[w_lo:w_hi],
                           Y[:, w_lo:w_hi] - M[:, w_lo:w_hi]))
@@ -504,9 +520,23 @@ def main(molecule, target, hours, procs, outer=8):
         print(f"[{molecule}]   round {rnd} done: {n_over}/{len(wins)} "
               f"windows still over target, {ls.n} lines", flush=True)
     M = synth_full(ls, conds)
+    final_res = float(np.abs(Y - M).max())
+    if prev_theta is not None and final_res > prev_res:
+        print(f"[{molecule}] final merge regressed "
+              f"({prev_res:.3e} -> {final_res:.3e}); reverting", flush=True)
+        ls.theta = prev_theta
     print(f"[{molecule}] final: {ls.n} lines, "
-          f"max|resid| = {np.abs(Y - M).max():.3e}", flush=True)
+          f"max|resid| = {min(final_res, prev_res):.3e}", flush=True)
     ls.save(path)
+    if molecule == "CO2":
+        # refresh the production-path status artifact the achieved gate
+        # reads (subprocess on CPU: this process may hold the TPU client)
+        import subprocess
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("VSM_FIT_TPU", None)
+        subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(__file__),
+                                     "co2_status.py")], env=env, check=False)
 
 
 if __name__ == "__main__":

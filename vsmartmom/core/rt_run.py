@@ -140,7 +140,11 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                 tau_z, omega_z, zw_z, tau_sum_z = inputs
                 z_pp = jnp.einsum("kn,kij->nij", zw_z, z_pp_c)
                 z_mp = jnp.einsum("kn,kij->nij", zw_z, z_mp_c)
-                if use_pallas:
+                # The fused Pallas kernel implements only the Newton-
+                # Schulz solver; buckets without an NS schedule (lu
+                # solver, or a builder fallback entry) take the exact-LU
+                # xla_dev twin instead of crashing on ns_schedule=None.
+                if use_pallas and _sched is not None:
                     r_f, g_el, e_el, jp, jm_f, ek = elemental_flipped_dev(
                         tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2,
                         wct02, i0_vec, i_mu0_n, n_stokes, mu0_node, mu0,
@@ -150,15 +154,16 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                         ns_schedule=_sched, ni=_ni, interpret=interp,
                         precision_name=dd_precision)
                 else:
+                    exact = (not schulz) or _sched is None
                     added = make_added_layer_dev(
                         tau_z, omega_z, z_pp, z_mp, tau_sum_z, qp, wct2,
                         wct02, i0_vec, i_mu0_n, n_stokes, mu0_node, mu0,
                         d_vec, min_qp_mu, ndoubl_static=_nd,
-                        ns_schedule=_sched if schulz else None,
-                        exact_eye=None if schulz else eye)
+                        ns_schedule=None if exact else _sched,
+                        exact_eye=eye if exact else None)
                     new = interaction_dev(
-                        carry, added, ni=_ni if schulz else None,
-                        exact_eye=None if schulz else eye)
+                        carry, added, ni=None if exact else _ni,
+                        exact_eye=eye if exact else None)
                 return new, None
             sl = slice(start, start + count)
             comp, _ = jax.lax.scan(
@@ -251,15 +256,41 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
         comp, _ = jax.lax.scan(scan_body_fused, init,
                                (tau, omega, zw, tau_sum_all[:-1]))
     elif (doubling_engine in ("pallas_scan", "pallas_scan_interpret")
-            and ndoubl_static is not None and ns_schedule is not None):
-        # whole layer loop fused in one VMEM-resident Pallas kernel
+            and (layer_schedules is not None
+                 or (ndoubl_static is not None and ns_schedule is not None))):
+        # Whole layer loop fused in VMEM-resident Pallas kernels: one
+        # kernel per schedule BUCKET (consecutive layers sharing a static
+        # (ndoubl, NS-schedule, ni)), the composite chained kernel-to-
+        # kernel through HBM (~3 round trips per moment instead of one
+        # per layer) — elemental construction, doubling, and interaction
+        # all live inside the kernel, eliminating the scan-body XLA share
+        # around the per-layer fused-step kernels.
         from vsmartmom.pallas.layer_scan_kernel import fused_layer_scan
-        comp = fused_layer_scan(
-            tau, omega, zw, tau_sum_all[:-1], z_pp_c, z_mp_c, qp, wct2,
-            i0_vec, d_vec, mu0, mu0_node, ns_schedule=tuple(ns_schedule),
-            i_mu0_n=i_mu0_n, n_stokes=n_stokes,
-            wct02=(0.5 if is_m0 else 0.25),
-            interpret=(doubling_engine == "pallas_scan_interpret"))
+        if layer_schedules is None:
+            layer_schedules = ((int(ndoubl_static), tuple(ns_schedule), 4),
+                               ) * int(tau.shape[0])
+        buckets = []          # (nd, sched, ni, start, count)
+        for iz, (nd_z, sched_z, ni_z) in enumerate(layer_schedules):
+            if sched_z is None:
+                raise ValueError("pallas_scan requires the schulz solver's "
+                                 "per-layer NS schedules")
+            if buckets and buckets[-1][0] == nd_z \
+                    and buckets[-1][1] == tuple(sched_z) \
+                    and buckets[-1][2] == ni_z:
+                buckets[-1] = buckets[-1][:4] + (buckets[-1][4] + 1,)
+            else:
+                buckets.append((nd_z, tuple(sched_z), ni_z, iz, 1))
+        comp = jax.tree.map(lambda x: x.astype(jnp.float32),
+                            vacuum_layer(n_spec, n, dtype))
+        for nd_z, sched_z, ni_z, start, count in buckets:
+            sl = slice(start, start + count)
+            comp = fused_layer_scan(
+                comp, tau[sl], omega[sl], zw[sl], tau_sum_all[sl],
+                z_pp_c, z_mp_c, qp, wct2, i0_vec, d_vec, mu0, mu0_node,
+                0.5 if is_m0 else 0.25,
+                ns_schedule=sched_z, i_mu0_n=i_mu0_n, n_stokes=n_stokes,
+                inter_iters=ni_z,
+                interpret=(doubling_engine == "pallas_scan_interpret"))
         comp = jax.tree.map(lambda x: x.astype(dtype), comp)
     elif layer_schedules is not None:
         # XLA engine with the SAME per-layer static (ndoubl, NS-schedule)
@@ -537,7 +568,8 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     (3-pass bf16x3 — safe ONLY with the dev-form engines, where it is
     gate-qualified end-to-end; with the plain engines it fails the gates:
     data/qualification/precision_r0{3,4}.jsonl). The dev Pallas kernel's
-    own matmul mode comes from env VSM_DD_PRECISION (default bf16x3).
+    matmul mode follows this argument ("highest" -> true f32 passes,
+    anything else -> bf16x3) unless env VSM_DD_PRECISION overrides.
     ``sfi``: True (default) synthesizes radiances from the single-beam
     source vectors J0-/J0+ (exact beam exponentials); False synthesizes
     from the R-+/T++ operator columns at the mu0 node (ref:
@@ -632,7 +664,7 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
     # last spectral column (finite physics, discarded at the fetch).
     pad_spec = 0
     if doubling_engine.startswith(("pallas_step", "pallas_dd",
-                                   "pallas_lanes")):
+                                   "pallas_lanes", "pallas_scan")):
         pad_spec = (-n_spec) % 16          # fused kernels' block_s
     tau_in, omega_in, zw_in = band.tau, band.omega, band.zw
     spectral_albedo_in = spectral_albedo
@@ -674,13 +706,23 @@ def rt_run_band(pol: Polarization, quad: QuadPoints, band: BandRTInputs,
                 spectral_albedo_in, jnp.asarray(quad.mu0, dtype),
                 jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
                 rho_brdf)
+            # The dd kernel's matmul mode follows matmul_precision unless
+            # env VSM_DD_PRECISION overrides; the static is only threaded
+            # through for the dd engine so env changes don't recompile
+            # every other engine.
+            if doubling_engine.startswith("pallas_dd"):
+                dd_precision = os.environ.get(
+                    "VSM_DD_PRECISION",
+                    "highest" if matmul_precision == "highest" else "bf16x3")
+            else:
+                dd_precision = None
             step_statics = dict(
                 i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
                 n_spec=n_spec_run, solver=solver,
                 ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
                 matmul_precision=matmul_precision,
                 layer_schedules=layer_schedules,
-                dd_precision=os.environ.get("VSM_DD_PRECISION", "bf16x3"))
+                dd_precision=dd_precision)
             comp, hdr_j_m_dev = _call_fourier_step(step_args, step_statics,
                                                    engine_ctl)
         if pad_spec:

@@ -48,10 +48,10 @@ def _expm1(x):
 
 def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
             qp_ref, wct2_ref, i0_ref, dv_ref, scal_ref,
+            ci_rmp, ci_rpm, ci_tpp, ci_tmm, ci_jp, ci_jm,
             r_mp_o, r_pm_o, t_pp_o, t_mm_o, j_p_o, j_m_o,
             c_rmp, c_rpm, c_tpp, c_tmm, c_jp, c_jm,
-            *, ns_schedule, inter_iters, i_mu0_n, n_stokes, n_k, scale,
-            wct02):
+            *, ns_schedule, inter_iters, i_mu0_n, n_stokes, n_k, scale):
     z = pl.program_id(1)
     n_z = pl.num_programs(1)
     mm = lambda a, b: lax.dot_general(a, b, _BMM,
@@ -68,6 +68,8 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
 
     mu0 = scal_ref[0]
     mu0_node = scal_ref[1]
+    wct02 = scal_ref[2]          # SMEM, not a static: m=0 vs m>0 share
+                                 # the same Mosaic instance
 
     # --- layer column selection + Z mixing --------------------------------
     # (dynamic 1-lane slices are unsupported in Mosaic: select column z of
@@ -106,9 +108,14 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
             * (-_expm1(-dt * (1.0 / mu_i + 1.0 / mu_j))))
     r_mp = jnp.where(col_mask, r_mp, 0.0)
 
-    t_diag = exp_i * (1.0 + om * z_pp * (dt / mu_i) * wct2r)
+    t_diag = exp_i + exp_i * (om * z_pp * (dt / mu_i) * wct2r)
     denom = jnp.where(same_mu, 1.0, mu_i - mu_j)
-    exp_diff = jnp.exp(-dt / mu_j) * _expm1(dt / mu_j - dt / mu_i)
+    # expm1 argument as ONE subtraction of exact node values (same fix as
+    # rt.elemental): dt/mu_j - dt/mu_i from two rounded quotients cancels
+    # catastrophically for adjacent nodes in f32 (observed 0.3% layer error
+    # at ndoubl=12); dt (mu_i - mu_j)/(mu_i mu_j) rounds once.
+    exp_diff = (jnp.exp(-dt / mu_j)
+                * _expm1(dt * (mu_i - mu_j) / (mu_i * mu_j)))
     t_off = om * z_pp * (mu_j / denom) * wct2r * exp_diff
     t_pp = jnp.where(same_mu, jnp.where(eye_b, t_diag, 0.0), t_off)
     t_pp = jnp.where(col_mask, t_pp,
@@ -124,10 +131,13 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
     mu_iv = qp2                              # (1, N)
     dt_v = dtau                              # (S, 1)
     exp_iv = jnp.exp(-dt_v / mu_iv)
-    denom0 = jnp.where(in_block, 1.0, mu_iv - mu0_node)
+    # degenerate limit also at any node whose mu equals mu0 (same guard +
+    # one-subtraction expm1 argument as rt.elemental)
+    same0 = in_block | (mu_iv == mu0_node)
+    denom0 = jnp.where(same0, 1.0, mu_iv - mu0_node)
     exp_diff0 = (jnp.exp(-dt_v / mu0_node)
-                 * _expm1(dt_v / mu0_node - dt_v / mu_iv))
-    j_p = jnp.where(in_block, (dt_v / mu_iv) * exp_iv,
+                 * _expm1(dt_v * (mu_iv - mu0_node) / (mu_iv * mu0_node)))
+    j_p = jnp.where(same0, (dt_v / mu_iv) * exp_iv,
                     (mu0_node / denom0) * exp_diff0)
     j_p = wct02 * omega * z_pp_i0 * j_p
     j_m = (wct02 * omega * z_mp_i0 * (mu0_node / (mu_iv + mu0_node))
@@ -164,35 +174,40 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
     a_jm = dv * jm
 
     # --- interaction with the running composite (rt.interaction) ---------
+    # The first grid step seeds the scratch composite from the kernel's
+    # composite INPUT (a vacuum layer for the topmost bucket, the previous
+    # bucket's output otherwise) and then runs the SAME interaction block:
+    # with a vacuum composite (R=0, T=I, J=0) the adding algebra — incl.
+    # the Newton-Schulz solve, whose iteration on A=I is exactly I —
+    # reproduces the added layer bit-exactly, so no separate first-layer
+    # variant (and no extra Mosaic instance) is needed.
     @pl.when(z == 0)
     def _():
-        c_rmp[:] = a_rmp
-        c_rpm[:] = a_rpm
-        c_tpp[:] = a_tpp
-        c_tmm[:] = a_tmm
-        c_jp[:] = a_jp
-        c_jm[:] = a_jm
+        c_rmp[:] = ci_rmp[:]
+        c_rpm[:] = ci_rpm[:]
+        c_tpp[:] = ci_tpp[:]
+        c_tmm[:] = ci_tmm[:]
+        c_jp[:] = ci_jp[:]
+        c_jm[:] = ci_jm[:]
 
-    @pl.when(z > 0)
-    def _():
-        a1 = eye - mm(a_rmp, c_rpm[:])
-        t01 = rsolve(c_tmm[:], a1, inter_iters)
-        n_jm = c_jm[:] + mv(t01, mv(a_rmp, c_jp[:]) + a_jm)
-        n_rmp = c_rmp[:] + mm(t01, mm(a_rmp, c_tpp[:]))
-        n_tmm = mm(t01, a_tmm)
+    a1 = eye - mm(a_rmp, c_rpm[:])
+    t01 = rsolve(c_tmm[:], a1, inter_iters)
+    n_jm = c_jm[:] + mv(t01, mv(a_rmp, c_jp[:]) + a_jm)
+    n_rmp = c_rmp[:] + mm(t01, mm(a_rmp, c_tpp[:]))
+    n_tmm = mm(t01, a_tmm)
 
-        a2 = eye - mm(c_rpm[:], a_rmp)
-        t21 = rsolve(a_tpp, a2, inter_iters)
-        n_jp = a_jp + mv(t21, c_jp[:] + mv(c_rpm[:], a_jm))
-        n_tpp = mm(t21, c_tpp[:])
-        n_rpm = a_rpm + mm(t21, mm(c_rpm[:], a_tmm))
+    a2 = eye - mm(c_rpm[:], a_rmp)
+    t21 = rsolve(a_tpp, a2, inter_iters)
+    n_jp = a_jp + mv(t21, c_jp[:] + mv(c_rpm[:], a_jm))
+    n_tpp = mm(t21, c_tpp[:])
+    n_rpm = a_rpm + mm(t21, mm(c_rpm[:], a_tmm))
 
-        c_rmp[:] = n_rmp
-        c_rpm[:] = n_rpm
-        c_tpp[:] = n_tpp
-        c_tmm[:] = n_tmm
-        c_jp[:] = n_jp
-        c_jm[:] = n_jm
+    c_rmp[:] = n_rmp
+    c_rpm[:] = n_rpm
+    c_tpp[:] = n_tpp
+    c_tmm[:] = n_tmm
+    c_jp[:] = n_jp
+    c_jm[:] = n_jm
 
     @pl.when(z == n_z - 1)
     def _():
@@ -206,18 +221,21 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "ns_schedule", "inter_iters", "i_mu0_n", "n_stokes", "block_s",
-    "interpret", "wct02"))
-def fused_layer_scan(tau, omega, zw, tau_sum, z_pp_c, z_mp_c, qp, wct2,
-                     i0_vec, d_vec, mu0, mu0_node, *, ns_schedule: tuple,
-                     i_mu0_n: int, n_stokes: int, wct02: float,
+    "interpret"))
+def fused_layer_scan(comp_in, tau, omega, zw, tau_sum, z_pp_c, z_mp_c, qp,
+                     wct2, i0_vec, d_vec, mu0, mu0_node, wct02, *,
+                     ns_schedule: tuple, i_mu0_n: int, n_stokes: int,
                      inter_iters: int = 4, block_s: int = 16,
                      interpret: bool = False) -> LayerRT:
-    """Full layer scan in one Pallas kernel; composite held in VMEM.
+    """Layer scan in one Pallas kernel; composite held in VMEM.
 
-    tau/omega/tau_sum: (nZ, nSpec); zw: (nZ, K, nSpec);
-    z_pp_c/z_mp_c: (K, N, N); qp/wct2/i0_vec/d_vec: (N,);
-    mu0/mu0_node: scalars. Returns the TOA..BOA composite LayerRT
-    (surface interaction is applied by the caller in XLA).
+    comp_in: LayerRT composite ABOVE these layers (vacuum_layer(...) for
+    the TOA bucket; chaining buckets with per-bucket static schedules
+    gives the bucketed engine). tau/omega/tau_sum: (nZ, nSpec);
+    zw: (nZ, K, nSpec); z_pp_c/z_mp_c: (K, N, N);
+    qp/wct2/i0_vec/d_vec: (N,); mu0/mu0_node/wct02: scalars. Returns the
+    composite through these layers (surface interaction is applied by
+    the caller in XLA).
     """
     n_z, n_spec = tau.shape
     n_k = zw.shape[1]
@@ -234,9 +252,13 @@ def fused_layer_scan(tau, omega, zw, tau_sum, z_pp_c, z_mp_c, qp, wct2,
     zw_t = jnp.pad(f32(zw).transpose(2, 0, 1),
                    [(0, pad), (0, 0), (0, 0)])               # (nS', nZ, K)
     n_pad = n_spec + pad
+    pad_m = lambda x: jnp.pad(f32(x), [(0, pad), (0, 0), (0, 0)])
+    pad_v = lambda x: jnp.pad(f32(x), [(0, pad), (0, 0)])
+    ci = (pad_m(comp_in.r_mp), pad_m(comp_in.r_pm), pad_m(comp_in.t_pp),
+          pad_m(comp_in.t_mm), pad_v(comp_in.j_p), pad_v(comp_in.j_m))
 
     row = lambda x: f32(x).reshape(1, n)
-    scal = jnp.stack([f32(mu0), f32(mu0_node)])
+    scal = jnp.stack([f32(mu0), f32(mu0_node), f32(wct02)])
 
     grid = (n_pad // block_s, n_z)
     lay_spec = pl.BlockSpec((block_s, n_z), lambda i, z: (i, 0),
@@ -248,15 +270,14 @@ def fused_layer_scan(tau, omega, zw, tau_sum, z_pp_c, z_mp_c, qp, wct2,
     row_spec = pl.BlockSpec((1, n), lambda i, z: (0, 0),
                             memory_space=pltpu.VMEM)
     scal_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    mat_out = pl.BlockSpec((block_s, n, n), lambda i, z: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    vec_out = pl.BlockSpec((block_s, n), lambda i, z: (i, 0),
-                           memory_space=pltpu.VMEM)
+    mat_io = pl.BlockSpec((block_s, n, n), lambda i, z: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    vec_io = pl.BlockSpec((block_s, n), lambda i, z: (i, 0),
+                          memory_space=pltpu.VMEM)
 
     kern = functools.partial(
         _kernel, ns_schedule=tuple(ns_schedule), inter_iters=inter_iters,
-        i_mu0_n=i_mu0_n, n_stokes=n_stokes, n_k=n_k, scale=scale,
-        wct02=wct02)
+        i_mu0_n=i_mu0_n, n_stokes=n_stokes, n_k=n_k, scale=scale)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -268,15 +289,16 @@ def fused_layer_scan(tau, omega, zw, tau_sum, z_pp_c, z_mp_c, qp, wct2,
         kern,
         grid=grid,
         in_specs=[lay_spec, lay_spec, lay_spec, zw_spec, zc_spec, zc_spec,
-                  row_spec, row_spec, row_spec, row_spec, scal_spec],
-        out_specs=[mat_out, mat_out, mat_out, mat_out, vec_out, vec_out],
+                  row_spec, row_spec, row_spec, row_spec, scal_spec,
+                  mat_io, mat_io, mat_io, mat_io, vec_io, vec_io],
+        out_specs=[mat_io, mat_io, mat_io, mat_io, vec_io, vec_io],
         out_shape=[mats, mats, mats, mats, vecs, vecs],
         scratch_shapes=[pltpu.VMEM((block_s, n, n), jnp.float32)] * 4
                        + [pltpu.VMEM((block_s, n), jnp.float32)] * 2,
         interpret=interpret,
         **kwargs,
     )(tau_t, omega_t, tausum_t, zw_t, f32(z_pp_c), f32(z_mp_c),
-      row(qp), row(wct2), row(i0_vec), row(d_vec), scal)
+      row(qp), row(wct2), row(i0_vec), row(d_vec), scal, *ci)
     if pad:
         out = [o[:n_spec] for o in out]
     return LayerRT(r_mp=out[0], r_pm=out[1], t_pp=out[2], t_mm=out[3],
