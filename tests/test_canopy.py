@@ -131,3 +131,92 @@ def test_canopy_lai_saturation():
     assert np.all(np.isfinite(vals)) and np.all(vals > 0)
     assert np.all(np.diff(vals) > 0)
     assert vals[-1] - vals[-2] < vals[1] - vals[0]
+
+
+# --- scene driver (ref: rt_run_canopy.jl:10-487) ---------------------------
+
+def _scene(lai=1.5, albedo=0.1, g_override=None, n_layers=1,
+           sensor_levels=None, n_z_atm=2):
+    from vsmartmom.core.canopy import CanopyRTInputs, rt_run_canopy
+    from vsmartmom.core.rt_run import BandRTInputs
+
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 8, 40.0, [15.0], pol.n)
+    n_spec = 3
+    tau = np.full((n_z_atm, n_spec), 0.05) * (1 + np.arange(n_z_atm))[:, None]
+    band = BandRTInputs(tau=tau, omega=np.full_like(tau, 0.95),
+                        zw=np.ones((n_z_atm, 1, n_spec)),
+                        greeks=[get_greek_rayleigh(0.03)])
+    canopy = CanopyRTInputs(lai=lai, rho_l=0.45, tau_l=0.35,
+                            g_override=g_override, n_layers=n_layers)
+    surf = {"type": "LambertianSurfaceScalar", "albedo": albedo}
+    return pol, quad, band, canopy, surf, rt_run_canopy
+
+
+def test_rt_run_canopy_g1_reduces_to_standard_scene():
+    """G = 1 turns the canopy slab into a plain atmospheric layer with the
+    bi-Lambertian phase: the scene driver must match rt_run_band on the
+    equivalent 3-layer atmosphere (gate from VERDICT r4 / ref parity)."""
+    from vsmartmom.core.rt_run import BandRTInputs, rt_run_band
+    pol, quad, band, canopy, surf, rt_run_canopy = _scene(g_override=1.0)
+    R_c, T_c, hdr, bhr_uw, bhr_dw = rt_run_canopy(
+        pol, quad, band, canopy, [15.0], [30.0], 3, surf)
+
+    gc_can, ssa = bilambertian_greek(canopy.rho_l, canopy.tau_l,
+                                    canopy.n_moments)
+    n_z, n_spec = band.tau.shape
+    tau2 = np.vstack([band.tau, np.full((1, n_spec), canopy.lai)])
+    omega2 = np.vstack([band.omega, np.full((1, n_spec), ssa)])
+    zw2 = np.zeros((n_z + 1, 2, n_spec))
+    zw2[:n_z, 0] = band.zw[:, 0]
+    zw2[n_z, 1] = 1.0
+    band2 = BandRTInputs(tau=tau2, omega=omega2, zw=zw2,
+                         greeks=[band.greeks[0], gc_can])
+    R_b, T_b, hdr_b, bhr_uw_b, bhr_dw_b = rt_run_band(
+        pol, quad, band2, [15.0], [30.0], 3, surf, return_hdr=True)
+    np.testing.assert_allclose(R_c, R_b, rtol=2e-7, atol=1e-12)
+    np.testing.assert_allclose(T_c, T_b, rtol=2e-7, atol=1e-12)
+    np.testing.assert_allclose(hdr, hdr_b, rtol=2e-7, atol=1e-12)
+    np.testing.assert_allclose(bhr_uw, bhr_uw_b, rtol=2e-7)
+    np.testing.assert_allclose(bhr_dw, bhr_dw_b, rtol=2e-7)
+
+
+def test_rt_run_canopy_dense_lai_soil_independence():
+    """LAI -> large: the soil becomes invisible — TOA reflectance and HDRF
+    must be (nearly) independent of soil albedo, while a sparse canopy
+    must show a clear soil signal."""
+    pol, quad, band, canopy, surf, rt_run_canopy = _scene(lai=12.0,
+                                                          albedo=0.05)
+    R_dark, *_ = rt_run_canopy(pol, quad, band, canopy, [15.0], [30.0], 3,
+                               surf)
+    surf_bright = {"type": "LambertianSurfaceScalar", "albedo": 0.9}
+    R_bright, *_ = rt_run_canopy(pol, quad, band, canopy, [15.0], [30.0],
+                                 3, surf_bright)
+    assert np.abs(R_bright - R_dark).max() / np.abs(R_dark).max() < 1e-3
+
+    pol, quad, band, canopy_s, surf, rt_run_canopy = _scene(lai=0.3,
+                                                            albedo=0.05)
+    R_d2, *_ = rt_run_canopy(pol, quad, band, canopy_s, [15.0], [30.0], 3,
+                             surf)
+    R_b2, *_ = rt_run_canopy(pol, quad, band, canopy_s, [15.0], [30.0], 3,
+                             surf_bright)
+    assert np.abs(R_b2 - R_d2).max() / np.abs(R_d2).max() > 0.5
+
+
+def test_rt_run_canopy_sensor_levels():
+    """In-canopy sensors via interlayer coupling: with no atmosphere the
+    upwelling field at canopy top == the TOA radiance, and the diffuse
+    downwelling at canopy top is zero."""
+    pol, quad, band, canopy, surf, rt_run_canopy = _scene(
+        n_z_atm=0, n_layers=2, sensor_levels=[0, 1])
+    out = rt_run_canopy(pol, quad, band, canopy, [15.0], [30.0], 3, surf,
+                        sensor_levels=[0, 1])
+    R, T, hdr, bhr_uw, bhr_dw, uw, dw = out
+    np.testing.assert_allclose(uw[0], R, rtol=1e-8, atol=1e-14)
+    assert np.abs(dw[0]).max() < 1e-12
+    # mid-canopy downwelling diffuse is nonzero; upwelling below the top
+    # is brighter than at the top looking down? (upwelling at the deeper
+    # interface includes soil + lower canopy only - just check finite,
+    # positive, and distinct from level 0)
+    assert np.all(np.isfinite(uw[1])) and np.abs(dw[1]).max() > 0
+    assert np.abs(uw[1] - uw[0]).max() > 0
