@@ -164,6 +164,32 @@ def test_rt_run_concatenated_bands_match_per_band():
     np.testing.assert_allclose(T_cat[..., lims[1]], T1, rtol=5e-12)
 
 
+def test_rt_run_concatenated_bands_match_per_band_brdf():
+    """The concat path now also engages for a shared BRDF surface (its
+    Fourier rho matrix is spectrally constant) — pin concat == per-band
+    for an RPV surface, closing the silent per-band fallback hole."""
+    from vsmartmom.core.api import band_spec_lim
+
+    params = parameters_from_yaml(f"{DATA}/rayleigh_benchmark.yaml")
+    params.spec_bands = [np.arange(13000.0, 13010.0, 2.0),
+                         np.arange(14000.0, 14012.0, 3.0)]
+    rpv = {"type": "rpvSurfaceScalar", "rho0": 0.2, "rho_c": 1.0,
+           "k": 0.8, "theta": -0.1}
+    params.surfaces = [rpv, dict(rpv)]
+    model = model_from_parameters(params)
+    model.tau_rayl[0][:] = 0.25
+    model.tau_rayl[1][:] = 0.23
+
+    R_cat, T_cat = rt_run(model, i_band=[0, 1])
+    R0, T0 = rt_run(model, i_band=0)
+    R1, T1 = rt_run(model, i_band=1)
+    lims = band_spec_lim(model, [0, 1])
+    np.testing.assert_allclose(R_cat[..., lims[0]], R0, rtol=5e-12)
+    np.testing.assert_allclose(R_cat[..., lims[1]], R1, rtol=5e-12)
+    np.testing.assert_allclose(T_cat[..., lims[0]], T0, rtol=5e-12)
+    np.testing.assert_allclose(T_cat[..., lims[1]], T1, rtol=5e-12)
+
+
 def test_show_utils():
     """Pretty-printing parity (ref: show_utils.jl Base.show overloads):
     repr(params) and repr(model) render the sectioned reports."""

@@ -108,6 +108,30 @@ def test_rt_run_band_xla_dev_matches_plain_schulz():
     assert np.abs(R1 - R0).max() < 1e-11 * np.abs(R0).max()
 
 
+def test_rt_run_band_xla_dev_matches_plain_lu_f64():
+    """Exact-LU f64 twin: with both engines solving exactly (no Newton-
+    Schulz truncation in the comparison), the split-form algebra must
+    reproduce the plain engine to f64 roundoff — the 'identical algebra'
+    claim pinned at full precision rather than via f32 TPU gate runs.
+    Uniform profile: both engines then run the same static ndoubl (a
+    spread profile puts plain-LU on the traced unquantized path while the
+    dev engine uses quantized buckets — a discretization, not algebra,
+    difference)."""
+    pol, quad, band, surf = _band_fixture()
+    tau_scat = np.full_like(np.asarray(band.tau), 0.3)
+    tau = tau_scat + 0.1
+    band = type(band)(tau=tau, omega=tau_scat / tau, zw=band.zw,
+                      greeks=band.greeks)
+    kw = dict(dtype=jnp.float64, max_m=3, solver="lu", surface=surf)
+    R0, T0 = rt_run_band(pol, quad, band, [30.], [0.],
+                         doubling_engine="xla", **kw)
+    R1, T1 = rt_run_band(pol, quad, band, [30.], [0.],
+                         doubling_engine="xla_dev", **kw)
+    # f64 roundoff under different association order (~1e-13 rel observed)
+    assert np.abs(R1 - R0).max() < 1e-11 * np.abs(R0).max()
+    assert np.abs(T1 - T0).max() < 1e-11 * np.abs(T0).max()
+
+
 def test_rt_run_band_pallas_dd_matches_xla_dev(monkeypatch):
     """The Pallas dev kernel is the XLA dev path's twin (shared algebra);
     at interpret + highest precision they agree to f64 roundoff."""

@@ -28,6 +28,13 @@ SPEC_PER_DEV = int(os.environ.get("SCALING_SPEC_PER_DEV", "4096"))
 
 def main():
     import jax
+    # SCALING_CPU=1: validate on a virtual CPU mesh even when the host env
+    # pins a TPU platform inside the interpreter (env JAX_PLATFORMS=cpu is
+    # overridden there — same self-configuration as __graft_entry__).
+    if os.environ.get("SCALING_CPU") == "1":
+        n_virt = int(os.environ.get("SCALING_CPU_DEVICES", "8"))
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_virt)
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -98,14 +98,23 @@ def concat_band_inputs(model: RTModel, bands: Sequence[int]) -> BandRTInputs:
     return BandRTInputs(tau=tau, omega=omega, zw=zw, greeks=greeks)
 
 
-def _concat_lambertian_surface(model: RTModel, bands: Sequence[int]):
-    """Merge per-band Lambertian surfaces into one spectral-albedo vector
-    on the concatenated axis (None if any band needs a BRDF surface)."""
+def _concat_surface(model: RTModel, bands: Sequence[int]):
+    """Surface for the band-concatenated run: per-band Lambertian surfaces
+    merge into one spectral-albedo vector; identical BRDF surfaces across
+    every band pass through unchanged (their Fourier rho matrices are
+    spectrally constant, so the concat axis is transparent to them).
+    Returns None when bands mix BRDF types/parameters (per-band fallback).
+    """
     from vsmartmom.core.brdf import legendre_spectral_albedo
+    surfaces = model.params.surfaces
+    per_band = [surfaces[min(ib, len(surfaces) - 1)] for ib in bands]
+    if any(s["type"] in ("rpvSurfaceScalar", "RossLiSurfaceScalar")
+           for s in per_band):
+        if all(s == per_band[0] for s in per_band[1:]):
+            return per_band[0]
+        return None
     chunks = []
-    for ib in bands:
-        surfaces = model.params.surfaces
-        s = surfaces[min(ib, len(surfaces) - 1)]
+    for ib, s in zip(bands, per_band):
         n_s = len(model.params.spec_bands[ib])
         if s["type"] == "LambertianSurfaceScalar":
             chunks.append(np.full(n_s, float(s["albedo"])))
@@ -145,9 +154,9 @@ def rt_run(model: RTModel, i_band: Union[int, Sequence[int]] = 0,
     # Elastic multi-band: concatenate bands onto ONE spectral axis so the
     # layer scan jits once and batches across bands (ref: rt_run.jl:66-74
     # bandSpecLim; types.jl:665-687 optical-property concatenation).
-    # Falls back to per-band runs when a band needs a BRDF surface.
+    # Falls back to per-band runs only when bands mix different BRDFs.
     if elastic_only and len(bands) > 1:
-        surface = _concat_lambertian_surface(model, bands)
+        surface = _concat_surface(model, bands)
         if surface is not None:
             band = concat_band_inputs(model, bands)
             return rt_run_band(

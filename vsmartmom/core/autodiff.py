@@ -22,13 +22,27 @@ from vsmartmom.util.quadrature import QuadPoints, nearest_point
 
 def make_radiance_fn(pol: Polarization, quad: QuadPoints, greeks, vza, vaz,
                      max_m: int, n_z: int, n_spec: int,
-                     dtype=jnp.float64, solver: str = "lu"):
+                     dtype=jnp.float64, solver: str = "lu",
+                     doubling_engine: str = "xla",
+                     layer_schedules=None, ndoubl_static=None,
+                     ns_schedule=None, matmul_precision: str = "highest"):
     """Build a jittable, differentiable radiance function.
 
     Returns f(tau, omega, zw, albedo) -> R of shape (n_vza, n_stokes,
     nSpec): the same Fourier-moment loop as rt_run_band, with the azimuthal
     synthesis inside jax so jacfwd/jvp flow end-to-end. Z matrices are
     geometry constants (independent of the optical-state inputs).
+
+    ``doubling_engine``/``layer_schedules``: run the PRODUCTION TPU
+    engines under AD (ref: the reference differentiates its production
+    CUBLAS path via Dual overloads, gpu_batched.jl:100-151). "xla_dev" is
+    natively differentiable; the fused Pallas kernels ("pallas_step",
+    "pallas_dd") differentiate through their custom_jvp (kernel primal,
+    XLA-twin tangent — pallas/layer_step_kernel.py). Static schedules
+    must be precomputed from a representative profile
+    (rt_run.build_layer_schedules) because tau/omega are traced here; the
+    Jacobian is then of the model at that frozen discretization — exactly
+    the retrieval use case.
     """
     n = len(quad.qp_mu_n)
     n_stokes = pol.n
@@ -80,7 +94,11 @@ def make_radiance_fn(pol: Polarization, quad: QuadPoints, greeks, vza, vaz,
                 albedo, None, jnp.asarray(quad.mu0, dtype),
                 jnp.asarray(mu0_node, dtype), jnp.asarray(min_qp_mu, dtype),
                 None, i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes,
-                is_m0=(m == 0), n_spec=n_spec, solver=solver)
+                is_m0=(m == 0), n_spec=n_spec, solver=solver,
+                doubling_engine=doubling_engine,
+                layer_schedules=layer_schedules,
+                ndoubl_static=ndoubl_static, ns_schedule=ns_schedule,
+                matmul_precision=matmul_precision)
             j_m = comp.j_m[:, gather]            # (nSpec, n_vza, n_stokes)
             R = R + csw[m][:, :, None] * jnp.transpose(j_m, (1, 2, 0))
         return R

@@ -31,7 +31,13 @@ the composite is not D-symmetric (layers differ) and carries all six
 fields. Algebra matches core.rt.interaction / core.rt.doubling exactly
 (same dot products; solver association t @ (M @ X)).
 
-Forward runs only (not differentiable) — core.rt stays the AD route.
+Differentiable via jax.custom_jvp: the primal runs the Pallas kernel; the
+tangent rule is the jvp of the pure-jnp twin (_xla_twin_step — the same
+doubling+interaction algebra as core.rt), mirroring how the reference
+differentiates its production GPU path with Dual-number CUBLAS overloads
+(ref: CoreRT/tools/gpu_batched.jl:100-151). jacfwd/jvp through rt code
+using these kernels therefore costs one extra XLA forward + tangent pass
+per layer, with the primal radiances still produced by the kernel.
 """
 from __future__ import annotations
 
@@ -196,12 +202,89 @@ def _auto_pack(n: int, block_s: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("ns_schedule", "ni", "block_s",
-                                             "interpret", "precision_name",
-                                             "pack_points", "pushthrough"))
+def _xla_twin_step(comp, r_f, t, jp, jm_f, ek, d_vec, *, ns_schedule, ni):
+    """Pure-jnp twin of fused_layer_step (identical algebra; serves as the
+    differentiation rule for the forward-only Pallas kernel)."""
+    from vsmartmom.core.rt import (LayerRT, doubling, interaction,
+                                   make_rsolve)
+    n_spec, n, _ = r_f.shape
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=r_f.dtype), (n_spec, n, n))
+    rs = make_rsolve("schulz", 4)
+    r_f2, t2, jp2, jm_f2 = doubling(r_f, t, jp, jm_f, ek,
+                                    len(ns_schedule), eye, rsolve=rs,
+                                    ns_schedule=tuple(ns_schedule))
+    dvr = jnp.asarray(d_vec, r_f.dtype)
+    r_mp = dvr[None, :, None] * r_f2
+    sgn = dvr[None, :, None] * dvr[None, None, :]
+    added = LayerRT(r_mp=r_mp, r_pm=sgn * r_mp, t_pp=t2, t_mm=sgn * t2,
+                    j_p=jp2, j_m=dvr[None, :] * jm_f2)
+    return interaction(comp, added, eye,
+                       rsolve=make_rsolve("schulz", int(ni)))
+
+
+def _xla_twin_step_dev(comp, r_f, g_el, e_el, jp, jm_f, ek, d_vec, *,
+                       ns_schedule, ni):
+    """Pure-jnp twin of fused_layer_step_dev (split-form algebra)."""
+    from vsmartmom.core.rt import LayerRTDev, doubling_dev, interaction_dev
+    r_f2, g2, e2, jp2, jm_f2 = doubling_dev(
+        r_f, g_el, e_el, jp, jm_f, ek, ns_schedule=tuple(ns_schedule),
+        ndoubl=len(ns_schedule))
+    dvr = jnp.asarray(d_vec, r_f.dtype)
+    r_mp = dvr[None, :, None] * r_f2
+    sgn = dvr[None, :, None] * dvr[None, None, :]
+    added = LayerRTDev(r_mp=r_mp, r_pm=sgn * r_mp, e_pp=e2,
+                       e_mm=sgn * e2, g=g2, j_p=jp2,
+                       j_m=dvr[None, :] * jm_f2)
+    return interaction_dev(comp, added, ni=int(ni))
+
+
+@functools.lru_cache(maxsize=64)
+def _fls_differentiable(statics: tuple, dev: bool):
+    """custom_jvp wrapper per static configuration: Pallas primal, twin
+    tangent. Cached so each (schedule, ...) config traces once."""
+    statics_d = dict(statics)
+    prim = _fused_layer_step_dev_prim if dev else _fused_layer_step_prim
+    twin = _xla_twin_step_dev if dev else _xla_twin_step
+    twin_kw = dict(ns_schedule=statics_d["ns_schedule"],
+                   ni=statics_d["ni"])
+
+    @jax.custom_jvp
+    def f(*primals):
+        return prim(*primals, **statics_d)
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        out = f(*primals)
+        _, dout = jax.jvp(lambda *p: twin(*p, **twin_kw), primals,
+                          tangents)
+        return out, dout
+
+    return f
+
+
 def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
                      ns_schedule: tuple, ni: int = 4, block_s: int = 16,
                      interpret: bool = False,
+                     precision_name: str = "highest",
+                     pack_points=None, pushthrough: bool = True):
+    """Differentiable wrapper around the fused Pallas layer step (see
+    _fused_layer_step_prim for the kernel and _xla_twin_step for the
+    tangent rule)."""
+    statics = (("ns_schedule", tuple(ns_schedule)), ("ni", int(ni)),
+               ("block_s", int(block_s)), ("interpret", bool(interpret)),
+               ("precision_name", precision_name),
+               ("pack_points", pack_points),
+               ("pushthrough", bool(pushthrough)))
+    f = _fls_differentiable(statics, dev=False)
+    return f(comp, r_f, t, jp, jm_f, ek, jnp.asarray(d_vec, r_f.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("ns_schedule", "ni", "block_s",
+                                             "interpret", "precision_name",
+                                             "pack_points", "pushthrough"))
+def _fused_layer_step_prim(comp, r_f, t, jp, jm_f, ek, d_vec, *,
+                           ns_schedule: tuple, ni: int = 4, block_s: int = 16,
+                           interpret: bool = False,
                      precision_name: str = "highest",
                      pack_points: int | None = None,
                      pushthrough: bool = True):
@@ -296,12 +379,27 @@ def fused_layer_step(comp, r_f, t, jp, jm_f, ek, d_vec, *,
                    j_p=out[4], j_m=out[5])
 
 
-@functools.partial(jax.jit, static_argnames=("ns_schedule", "ni", "block_s",
-                                             "interpret", "precision_name"))
 def fused_layer_step_dev(comp, r_f, g_el, e_el, jp, jm_f, ek, d_vec, *,
                          ns_schedule: tuple, ni: int = 4, block_s: int = 16,
                          interpret: bool = False,
                          precision_name: str = "bf16x3"):
+    """Differentiable wrapper around the dev-form Pallas layer step
+    (primal kernel: _fused_layer_step_dev_prim; tangent rule:
+    _xla_twin_step_dev)."""
+    statics = (("ns_schedule", tuple(ns_schedule)), ("ni", int(ni)),
+               ("block_s", int(block_s)), ("interpret", bool(interpret)),
+               ("precision_name", precision_name))
+    f = _fls_differentiable(statics, dev=True)
+    return f(comp, r_f, g_el, e_el, jp, jm_f, ek,
+             jnp.asarray(d_vec, r_f.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("ns_schedule", "ni", "block_s",
+                                             "interpret", "precision_name"))
+def _fused_layer_step_dev_prim(comp, r_f, g_el, e_el, jp, jm_f, ek, d_vec, *,
+                               ns_schedule: tuple, ni: int = 4,
+                               block_s: int = 16, interpret: bool = False,
+                               precision_name: str = "bf16x3"):
     """Direct/diffuse split layer step (see _layer_step_kernel_dev).
 
     comp is a core.rt.LayerRTDev pytree; the elemental layer arrives
