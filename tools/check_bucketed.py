@@ -88,6 +88,31 @@ def run_check(n_spec=2048, n_z=34, max_m=3):
         and all(_is_pallas_key(k) for k in new)
         and all(v is not None for v in new.values()))
 
+    # Mosaic-instance cap: the builder promises at most ~6 distinct
+    # (ndoubl, NS-schedule, ni) buckets per engine (rt_run.py quantization
+    # — unbounded instance counts crashed the round-2 TPU worker)
+    from vsmartmom.core.rt_run import build_layer_schedules
+    _, _, scheds = build_layer_schedules(
+        band.tau, band.omega, float(np.min(quad.qp_mu)), "schulz")
+    out["n_schedule_buckets"] = (len(set(scheds))
+                                 if scheds is not None else 1)
+    out["bucket_cap_ok"] = out["n_schedule_buckets"] <= 6
+
+    # Bucketed fully-fused layer-scan engine (elemental+doubling+
+    # interaction per bucket in ONE kernel, composite chained in HBM)
+    t0 = time.perf_counter()
+    R_s, _ = rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,
+                         doubling_engine="pallas_scan", **common)
+    out["scan_total_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,
+                doubling_engine="pallas_scan", **common)
+    out["scan_steady_s"] = round(time.perf_counter() - t0, 2)
+    new_scan = {k: v for k, v in rr._COMPILED_CACHE.items()
+                if k not in keys_before and k not in new}
+    out["scan_engaged"] = bool(
+        new_scan and all(v is not None for v in new_scan.values()))
+
     t0 = time.perf_counter()
     R_x, T_x = rt_run_band(pol, quad, band, [30.0], [0.0], max_m, surf,
                            doubling_engine="xla", **common)
@@ -104,9 +129,14 @@ def run_check(n_spec=2048, n_z=34, max_m=3):
     scale = np.maximum(np.abs(R_x), 1e-3 * float(np.abs(R_x).max()))
     out["max_rel_diff_vs_xla"] = float(np.max(np.abs(R_p - R_x) / scale))
     out["repeat_rel_diff"] = float(np.max(np.abs(R_p - R_p2) / scale))
+    out["scan_max_rel_diff_vs_xla"] = float(
+        np.max(np.abs(R_s - R_x) / scale))
     out["ok"] = bool(out["pallas_engaged"]
                      and out["max_rel_diff_vs_xla"] < 6e-3
-                     and np.isfinite(R_p).all())
+                     and out["scan_max_rel_diff_vs_xla"] < 6e-3
+                     and out["bucket_cap_ok"]
+                     and np.isfinite(R_p).all()
+                     and np.isfinite(R_s).all())
     return out
 
 

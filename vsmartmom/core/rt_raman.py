@@ -252,11 +252,15 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
         j1m = jm * ek[:, None]
         u1 = jp + bmv(r, j1m)
         u2 = j1m + bmv(r, jp)
+        # r t is needed by the elastic update AND, gathered at the source
+        # wavelengths, by every shift row (gather commutes with the
+        # pointwise-in-spectrum product: r0 t0 == take0(r t)) — compute it
+        # once instead of once per shift.
+        rt = bmm(r, t)
 
         def one_shift(src, valid, ier_s, iet_s, iejp_s, iejm_s):
             t0 = take0(t, src, valid)
-            r0 = take0(r, src, valid)
-            rr_off = bmm(r, ier_s) + bmm(ier_s, r0)
+            rr_off = bmm(r, ier_s) + bmm(ier_s, take0(r, src, valid))
             x = bmm(tt, rr_off) + iet_s
             if m is None:
                 tt_off = rsolve(x, take0_id(a, src, valid, eye))
@@ -264,7 +268,7 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
                 tt_off = bmm(x, take0_id(m, src, valid, eye))
 
             ier_n = ier_s + bmm(tt, bmm(r, iet_s) + bmm(ier_s, t0)) \
-                + bmm(tt_off, bmm(r0, t0))
+                + bmm(tt_off, take0(rt, src, valid))
             iet_n = bmm(tt, iet_s) + bmm(tt_off, t0)
 
             iej1p = iejp_s * ek[:, None]
@@ -284,7 +288,7 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
 
         jm = jm + bmv(tt, u2)
         jp = j1p + bmv(tt, u1)
-        r = r + bmm(tt, bmm(r, t))
+        r = r + bmm(tt, rt)
         t = bmm(tt, t)
         return (r, t, jp, jm, ek * ek, ier, iet, iejp, iejm)
 
