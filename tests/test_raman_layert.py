@@ -108,3 +108,22 @@ def test_layered_weights_match_brute_force_composition():
                                         [0.0], [0.0], 1, surf_d)
     rel = np.abs(ieR_mean - ieR).max() / np.abs(ieR).max()
     assert rel > 1e-3, "per-layer T must change the filling-in"
+
+
+def test_rrs_scheduled_schulz_matches_lu():
+    """The production path's static scheduled-NS doubling (engaged for
+    solver='schulz', bucketed per layer like the elastic engines) must
+    reproduce the exact-LU traced path to Newton-Schulz convergence."""
+    pol = Polarization.from_name("Stokes_I")
+    quad = rt_set_streams("GaussQuadFullSphere", 6, 40.0, [0.0], pol.n)
+    band, f_rayl = _band(len(GRID))
+    rrs = make_rrs(GRID, T=250.0)
+    surf = {"type": "LambertianSurfaceScalar", "albedo": 0.2}
+    R0, T0, ieR0, ieT0 = rt_run_band_rrs(pol, quad, band, rrs, f_rayl,
+                                         [0.0], [0.0], 2, surf,
+                                         solver="lu")
+    R1, T1, ieR1, ieT1 = rt_run_band_rrs(pol, quad, band, rrs, f_rayl,
+                                         [0.0], [0.0], 2, surf,
+                                         solver="schulz")
+    assert np.abs(R1 - R0).max() / np.abs(R0).max() < 1e-6
+    assert np.abs(ieR1 - ieR0).max() / np.abs(ieR0).max() < 1e-5

@@ -94,6 +94,61 @@ def main():
     out = dict(backend=jax.default_backend(),
                process_count=jax.process_count(),
                spec_per_device=SPEC_PER_DEV, rows=rows)
+
+    # On a VIRTUAL mesh (n devices emulated on one machine's cores) the
+    # weak-scaling efficiency above is meaningless — total work grows n x
+    # on fixed hardware, so per-device throughput must fall ~n x. What a
+    # virtual mesh CAN measure is the SPMD partitioning overhead: the same
+    # total spectral load, unsharded vs sharded across all devices. It
+    # canNOT measure ICI bandwidth/latency (host memory stands in for the
+    # interconnect) — real multi-chip efficiency needs a real slice.
+    if os.environ.get("SCALING_CPU") == "1" and len(all_devs) > 1:
+        n_dev = len(all_devs)
+        n_spec = SPEC_PER_DEV * n_dev
+        mesh1 = dist.global_spectral_mesh(all_devs[:1])
+        meshN = dist.global_spectral_mesh(all_devs)
+        times = {}
+        for tag, mesh in (("single", mesh1), ("sharded", meshN)):
+            args, static = g._example_inputs(n_spec=n_spec, n_quad_half=8,
+                                             n_stokes=4, n_z=10,
+                                             dtype=dtype)
+            sh2 = NamedSharding(mesh, P(None, SPECTRAL_AXIS))
+            sh3 = NamedSharding(mesh, P(None, None, SPECTRAL_AXIS))
+            rep = NamedSharding(mesh, P())
+            tau = jax.device_put(args["tau"], sh2)
+            omega = jax.device_put(args["omega"], sh2)
+            zw = jax.device_put(args["zw"], sh3)
+            rest = {k: jax.device_put(args[k], rep)
+                    for k in ("z_pp_c", "z_mp_c", "qp", "wt", "d_vec",
+                              "i0_vec")}
+
+            def run_fixed(is_m0):
+                comp, _ = _fourier_step(
+                    tau, omega, zw, rest["z_pp_c"], rest["z_mp_c"],
+                    rest["qp"], rest["wt"], rest["d_vec"], rest["i0_vec"],
+                    args["albedo"], None, args["mu0"], args["mu0_node"],
+                    args["min_qp_mu"],
+                    i_mu0_n=static["i_mu0_n"],
+                    n_stokes=static["n_stokes"], is_m0=is_m0,
+                    n_spec=n_spec, solver="schulz")
+                return comp.j_m
+
+            with mesh:
+                float(run_fixed(True).sum())
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    o = run_fixed(True)
+                float(o.sum())
+                times[tag] = (time.perf_counter() - t0) / 3
+        out["partition_overhead"] = dict(
+            n_devices=n_dev, n_spec=n_spec,
+            t_single_s=round(times["single"], 3),
+            t_sharded_s=round(times["sharded"], 3),
+            overhead_frac=round(times["sharded"] / times["single"] - 1.0,
+                                3),
+            note="same total load unsharded vs sharded on the virtual "
+                 "mesh: SPMD partitioning cost only; says nothing about "
+                 "ICI bandwidth")
     if jax.process_index() == 0:
         print(json.dumps(out))
     return out

@@ -218,13 +218,16 @@ def ie_elemental(shift, w_shift, dtau, f_rayl, tau_sum, z_pp_r, z_mp_r,
 # --- Raman-coupled doubling -------------------------------------------------
 
 def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
-                   eye, rsolve):
+                   eye, rsolve, ns_schedule=None):
     """Joint elastic + first-order-Raman doubling (flipped space).
 
     Elastic recursion identical to rt.doubling; ie updates are the
     off-diagonal blocks of the same algebra (see module docstring).
     ``shifts``: int (nR,) banded offsets or a ((nR, nSpec) src,
-    (nR, nSpec) valid) tuple.
+    (nR, nSpec) valid) tuple. ``ns_schedule``: optional static per-step
+    Newton-Schulz iteration counts (the elastic engine's scheduled-NS
+    lever, ns_doubling_schedule) — statically unrolled; thin early steps
+    then solve with 0-1 iterations instead of the solver's fixed count.
     """
     srcs, valids = _as_rows(shifts, r.shape[0])
     # schulz exposes materialize_m: build the (pointwise-batched) inverse
@@ -237,9 +240,8 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
     # it WORSE — 57-69 pts/s — the materialized concats blow HBM traffic
     # and peak memory, the same result the elastic XLA interaction path
     # documents; keep the products separate here.)
-    m_fn = getattr(rsolve, "materialize_m", None)
-
-    def body(_, state):
+    def body(_, state, rsolve=rsolve,
+             m_fn=getattr(rsolve, "materialize_m", None)):
         r, t, jp, jm, ek, ier, iet, iejp, iejm = state
         a = eye - bmm(r, r)
         if m_fn is None:
@@ -293,30 +295,43 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
         return (r, t, jp, jm, ek * ek, ier, iet, iejp, iejm)
 
     state = (r, t, jp, jm, ek, ier, iet, iejp, iejm)
-    state = lax.fori_loop(0, ndoubl, body, state)
+    if ns_schedule is not None:
+        for it in ns_schedule:
+            rs = make_rsolve("schulz", int(it))
+            state = body(None, state, rsolve=rs,
+                         m_fn=rs.materialize_m)
+    else:
+        state = lax.fori_loop(0, ndoubl, body, state)
     return state
 
 
 def raman_make_added_layer(tau, omega, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum,
                            f_rayl, shifts, w_shifts, gids, qp, wct2, wct02,
                            i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec,
-                           min_qp_mu, eye, rsolve):
+                           min_qp_mu, eye, rsolve, ndoubl_static=None,
+                           ns_schedule=None):
     """One atmospheric layer: elastic + Raman elemental, joint doubling.
 
     ref: rt_kernel.jl:278-343 (RRS path). Returns (LayerRT, IELayer).
     ``shifts`` banded ints or (src, valid) rows; ``w_shifts`` (nR,) scalars
-    or (nR, nSpec) per-output weights.
+    or (nR, nSpec) per-output weights. ``ndoubl_static``/``ns_schedule``:
+    host-precomputed static doubling count + per-step NS iteration counts
+    (the elastic engine's scheduled-NS lever) — statically unrolled.
     """
     dtype = tau.dtype
     n_spec = tau.shape[0]
     srcs, valids = _as_rows(shifts, n_spec)
-    tau_scat_max = jnp.max(tau * omega)
-    # Elemental step 0.004*min(mu): single-scatter error O((dtau/mu)^2)
-    # stays < ~3e-5 of radiance (measured f64), 2 fewer doublings/layer
-    # than the reference's 0.001 factor (~20% of TPU runtime).
-    dtau_max = jnp.minimum(tau_scat_max, 0.004 * min_qp_mu)
-    ndoubl = doubling_number(dtau_max, tau_scat_max)
-    scale = 2.0 ** ndoubl.astype(dtype)
+    if ndoubl_static is not None:
+        ndoubl = int(ndoubl_static)
+        scale = 2.0 ** ndoubl
+    else:
+        tau_scat_max = jnp.max(tau * omega)
+        # Elemental step 0.004*min(mu): single-scatter error O((dtau/mu)^2)
+        # stays < ~3e-5 of radiance (measured f64), 2 fewer doublings/layer
+        # than the reference's 0.001 factor (~20% of TPU runtime).
+        dtau_max = jnp.minimum(tau_scat_max, 0.004 * min_qp_mu)
+        ndoubl = doubling_number(dtau_max, tau_scat_max)
+        scale = 2.0 ** ndoubl.astype(dtype)
     dtau = tau / scale
     expk = jnp.exp(-dtau / mu0)
 
@@ -340,7 +355,7 @@ def raman_make_added_layer(tau, omega, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum,
     iejm_f = dvv[None] * iejm
     r_f, t_pp, j_p, jm_f, _, ier_f, iet, iejp, iejm_f = raman_doubling(
         r_f, t_pp, j_p, jm_f, expk, ier_f, iet, iejp, iejm_f,
-        (srcs, valids), ndoubl, eye, rsolve)
+        (srcs, valids), ndoubl, eye, rsolve, ns_schedule=ns_schedule)
     r_mp = dv * r_f
     j_m = dvv * jm_f
     ier = dv[None] * ier_f
@@ -426,14 +441,23 @@ def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
 # --- full RRS forward driver ------------------------------------------------
 
 @partial(jax.jit, static_argnames=("i_mu0_n", "n_stokes", "is_m0", "n_spec",
-                                   "solver"))
+                                   "solver", "layer_schedules"))
 def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
                       f_rayl, srcs, valids, w_shifts, gids, qp, wt, d_vec,
                       i0_vec, albedo, mu0, mu0_node, min_qp_mu,
-                      *, i_mu0_n, n_stokes, is_m0, n_spec, solver):
+                      *, i_mu0_n, n_stokes, is_m0, n_spec, solver,
+                      layer_schedules=None):
     """One Fourier moment of the Raman-coupled RT: joint elastic+ie layer
     scan, Lambertian surface (no Raman at the surface).
-    ref: rt_run.jl RRS path + rt_kernel.jl:278-343."""
+    ref: rt_run.jl RRS path + rt_kernel.jl:278-343.
+
+    ``layer_schedules``: per-layer static (ndoubl, NS-schedule, ni) from
+    rt_run.build_layer_schedules — bucketed exactly like the elastic
+    engines, replacing the traced-ndoubl while_loop with statically
+    unrolled scheduled-NS doubling (thin early steps solve with 0-1 NS
+    iterations instead of the solver's fixed 4; measured the dominant
+    non-shift cost of the RRS path).
+    """
     with jax.default_matmul_precision("highest"):
         rsolve = make_rsolve(solver)
         dtype = tau.dtype
@@ -451,7 +475,7 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
         # (nR, nSpec) w_shifts is closed over instead (no broadcast copy)
         w_layered = w_shifts.ndim == 3
 
-        def scan_body(carry, inputs):
+        def scan_body(carry, inputs, _nd=None, _sched=None):
             comp, comp_ie = carry
             if w_layered:
                 tau_z, omega_z, zw_z, f_rayl_z, tau_sum_z, w_z = inputs
@@ -464,7 +488,7 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
                 tau_z, omega_z, z_pp, z_mp, z_pp_r, z_mp_r, tau_sum_z,
                 f_rayl_z, (srcs, valids), w_z, gids, qp, wct2, wct02,
                 i0_vec, i_mu0_n, n_stokes, mu0_node, mu0, d_vec, min_qp_mu,
-                eye, rsolve)
+                eye, rsolve, ndoubl_static=_nd, ns_schedule=_sched)
             comp, comp_ie = raman_interaction(comp, comp_ie, added,
                                               added_ie, (srcs, valids),
                                               eye, rsolve)
@@ -475,7 +499,24 @@ def _fourier_step_rrs(tau, omega, zw, z_pp_c, z_mp_c, z_pp_r, z_mp_r,
         xs = (tau, omega, zw, f_rayl, tau_sum_all[:-1])
         if w_layered:
             xs = xs + (w_shifts,)
-        (comp, comp_ie), _ = jax.lax.scan(scan_body, init, xs)
+        if layer_schedules is not None and solver == "schulz":
+            buckets = []          # (nd, sched, start, count)
+            for iz, (nd_z, sched_z, _ni) in enumerate(layer_schedules):
+                sc = tuple(sched_z) if sched_z is not None else None
+                if buckets and buckets[-1][0] == nd_z \
+                        and buckets[-1][1] == sc:
+                    buckets[-1] = buckets[-1][:3] + (buckets[-1][3] + 1,)
+                else:
+                    buckets.append((nd_z, sc, iz, 1))
+            carry = init
+            for nd_z, sched_z, start, count in buckets:
+                sl = slice(start, start + count)
+                carry, _ = jax.lax.scan(
+                    partial(scan_body, _nd=nd_z, _sched=sched_z), carry,
+                    tuple(x[sl] for x in xs))
+            comp, comp_ie = carry
+        else:
+            (comp, comp_ie), _ = jax.lax.scan(scan_body, init, xs)
 
         from vsmartmom.core.surface import lambertian_surface_layer
         surf = lambertian_surface_layer(
@@ -556,6 +597,20 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
     vza = np.asarray(vza, dtype=np.float64)
     vaz = np.asarray(vaz, dtype=np.float64)
 
+    # production (schulz/TPU) path: static per-layer doubling schedules
+    # from the SAME builder as the elastic engines; the LU/CPU path keeps
+    # the traced-ndoubl loop (and stays bitwise vs the brute-force gates)
+    layer_schedules = None
+    if solver == "schulz":
+        from vsmartmom.core.rt_run import build_layer_schedules
+        nd_u, sched_u, layer_schedules = build_layer_schedules(
+            np.asarray(band.tau), np.asarray(band.omega),
+            float(np.min(quad.qp_mu)), solver)
+        if layer_schedules is None and nd_u is not None:
+            layer_schedules = ((int(nd_u),
+                                tuple(sched_u) if sched_u else None, 4),
+                               ) * int(band.tau.shape[0])
+
     i0_vec = np.zeros(n)
     i0_vec[quad.i_mu0_n:quad.i_mu0_n + n_stokes] = pol.i0
     d_vec = np.tile(pol.d, quad.n_quad)
@@ -600,7 +655,7 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
             jnp.asarray(quad.mu0, dtype), jnp.asarray(mu0_node, dtype),
             jnp.asarray(min_qp_mu, dtype),
             i_mu0_n=quad.i_mu0_n, n_stokes=n_stokes, is_m0=(m == 0),
-            n_spec=n_spec, solver=solver)
+            n_spec=n_spec, solver=solver, layer_schedules=layer_schedules)
 
         j_m = np.asarray(comp.j_m)
         j_p = np.asarray(comp.j_p)
