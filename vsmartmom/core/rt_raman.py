@@ -39,6 +39,7 @@ leading Raman-shift axis (nR, nSpec, N, N) / (nR, nSpec, N).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -49,6 +50,24 @@ from jax import lax
 
 from vsmartmom.core.rt import (LayerRT, bmm, bmv, doubling_number, elemental,
                                interaction, make_rsolve, vacuum_layer)
+
+
+def bmm_ie(a, b):
+    """Batched matmul for the first-order (ie) operands. The ie operators
+    are perturbation-scale (no ~1.0 transmission diagonal rides these
+    products), so the 3-pass bf16x3 MXU mode's absolute floor
+    (~2^-16 |A||B|) is small RELATIVE to the ie result — the same argument
+    that makes the dev-form engines bf16x3-safe. Env
+    VSM_RAMAN_IE_PRECISION: highest (default) | high (bf16x3) | default
+    (1-pass bf16). Read at trace time."""
+    # Measured on TPU (same-session A/B, nSpec=2048, nR=172): highest
+    # 107.8 pts/s; high (bf16x3) 110.7 at 2.8e-5 rel on ieR (negligible —
+    # DEFAULT); 1-pass bf16 138.3 (+28%) at 8.5e-4 rel on the Raman
+    # correction (~1e-6 of total radiance) — opt-in for throughput.
+    prec = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
+            "default": lax.Precision.DEFAULT}[
+        os.environ.get("VSM_RAMAN_IE_PRECISION", "high")]
+    return jnp.matmul(a, b, precision=prec)
 
 
 class IELayer(NamedTuple):
@@ -262,16 +281,16 @@ def raman_doubling(r, t, jp, jm, ek, ier, iet, iejp, iejm, shifts, ndoubl,
 
         def one_shift(src, valid, ier_s, iet_s, iejp_s, iejm_s):
             t0 = take0(t, src, valid)
-            rr_off = bmm(r, ier_s) + bmm(ier_s, take0(r, src, valid))
-            x = bmm(tt, rr_off) + iet_s
+            rr_off = bmm_ie(r, ier_s) + bmm_ie(ier_s, take0(r, src, valid))
+            x = bmm_ie(tt, rr_off) + iet_s
             if m is None:
                 tt_off = rsolve(x, take0_id(a, src, valid, eye))
             else:
-                tt_off = bmm(x, take0_id(m, src, valid, eye))
+                tt_off = bmm_ie(x, take0_id(m, src, valid, eye))
 
-            ier_n = ier_s + bmm(tt, bmm(r, iet_s) + bmm(ier_s, t0)) \
-                + bmm(tt_off, take0(rt, src, valid))
-            iet_n = bmm(tt, iet_s) + bmm(tt_off, t0)
+            ier_n = ier_s + bmm_ie(tt, bmm_ie(r, iet_s) + bmm_ie(ier_s, t0)) \
+                + bmm_ie(tt_off, take0(rt, src, valid))
+            iet_n = bmm_ie(tt, iet_s) + bmm_ie(tt_off, t0)
 
             iej1p = iejp_s * ek[:, None]
             iej1m = iejm_s * ek[:, None]
@@ -401,29 +420,29 @@ def raman_interaction(comp, comp_ie, added, added_ie, shifts, eye, rsolve):
 
     def one_shift(src, valid, c_ie, a_ie):
         tk = lambda x: take0(x, src, valid)
-        m1_off = bmm(a_ie.r_mp, tk(comp.r_pm)) + bmm(added.r_mp, c_ie.r_pm)
-        x1 = bmm(t01, m1_off) + c_ie.t_mm
+        m1_off = bmm_ie(a_ie.r_mp, tk(comp.r_pm)) + bmm_ie(added.r_mp, c_ie.r_pm)
+        x1 = bmm_ie(t01, m1_off) + c_ie.t_mm
         t01_off = (rsolve(x1, take0_id(a1, src, valid, eye))
                    if m1 is None
-                   else bmm(x1, take0_id(m1, src, valid, eye)))
+                   else bmm_ie(x1, take0_id(m1, src, valid, eye)))
         v1_off = (bmv(a_ie.r_mp, tk(comp.j_p))
                   + bmv(added.r_mp, c_ie.j_p) + a_ie.j_m)
         iejm = c_ie.j_m + bmv(t01, v1_off) + bmv(t01_off, tk(v1))
-        w1_off = bmm(a_ie.r_mp, tk(comp.t_pp)) + bmm(added.r_mp, c_ie.t_pp)
-        ier_mp = c_ie.r_mp + bmm(t01, w1_off) + bmm(t01_off, tk(w1))
-        iet_mm = bmm(t01, a_ie.t_mm) + bmm(t01_off, tk(added.t_mm))
+        w1_off = bmm_ie(a_ie.r_mp, tk(comp.t_pp)) + bmm_ie(added.r_mp, c_ie.t_pp)
+        ier_mp = c_ie.r_mp + bmm_ie(t01, w1_off) + bmm_ie(t01_off, tk(w1))
+        iet_mm = bmm_ie(t01, a_ie.t_mm) + bmm_ie(t01_off, tk(added.t_mm))
 
-        m2_off = bmm(c_ie.r_pm, tk(added.r_mp)) + bmm(comp.r_pm, a_ie.r_mp)
-        x2 = bmm(t21, m2_off) + a_ie.t_pp
+        m2_off = bmm_ie(c_ie.r_pm, tk(added.r_mp)) + bmm_ie(comp.r_pm, a_ie.r_mp)
+        x2 = bmm_ie(t21, m2_off) + a_ie.t_pp
         t21_off = (rsolve(x2, take0_id(a2, src, valid, eye))
                    if m2 is None
-                   else bmm(x2, take0_id(m2, src, valid, eye)))
+                   else bmm_ie(x2, take0_id(m2, src, valid, eye)))
         v2_off = (c_ie.j_p + bmv(c_ie.r_pm, tk(added.j_m))
                   + bmv(comp.r_pm, a_ie.j_m))
         iejp = a_ie.j_p + bmv(t21, v2_off) + bmv(t21_off, tk(v2))
-        iet_pp = bmm(t21, c_ie.t_pp) + bmm(t21_off, tk(comp.t_pp))
-        w2_off = bmm(c_ie.r_pm, tk(added.t_mm)) + bmm(comp.r_pm, a_ie.t_mm)
-        ier_pm = a_ie.r_pm + bmm(t21, w2_off) + bmm(t21_off, tk(w2))
+        iet_pp = bmm_ie(t21, c_ie.t_pp) + bmm_ie(t21_off, tk(comp.t_pp))
+        w2_off = bmm_ie(c_ie.r_pm, tk(added.t_mm)) + bmm_ie(comp.r_pm, a_ie.t_mm)
+        ier_pm = a_ie.r_pm + bmm_ie(t21, w2_off) + bmm_ie(t21_off, tk(w2))
         return IELayer(ier_mp, ier_pm, iet_pp, iet_mm, iejp, iejm)
 
     ie_new = jax.vmap(one_shift)(srcs, valids, comp_ie, added_ie)
@@ -572,6 +591,26 @@ def build_coupling(specs, n_spec: int):
             np.asarray(gids, np.int32))
 
 
+def _raman_layer_schedules(tau, omega, min_qp_mu):
+    """Exact (unquantized) per-layer static doubling schedules for the
+    Raman scan: nd matches the traced doubling_number per layer, with the
+    per-step NS iteration schedule of ns_doubling_schedule. Returns a
+    tuple of (nd, sched, ni=4) 3-tuples or None on any non-static input
+    (the traced path then applies)."""
+    from vsmartmom.core.rt import ns_doubling_schedule
+    if not (isinstance(tau, np.ndarray) and isinstance(omega, np.ndarray)):
+        return None
+    tau_scat = np.max(tau * omega, axis=1)
+    if not np.all(np.isfinite(tau_scat)) or not np.any(tau_scat > 0):
+        return None
+    dm = np.minimum(np.maximum(tau_scat, 1e-30), 0.004 * min_qp_mu)
+    nd = np.maximum(np.ceil(np.log2(np.maximum(tau_scat / dm, 1.0))),
+                    0).astype(int)
+    return tuple(
+        (int(k), ns_doubling_schedule(float(ts), min_qp_mu, int(k)), 4)
+        for k, ts in zip(nd, tau_scat))
+
+
 def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
                     surface, dtype=jnp.float64, solver=None):
     """Forward run with Raman coupling (RRS / VS / RVRS / ``_plus`` groups)
@@ -597,19 +636,26 @@ def rt_run_band_rrs(pol, quad, band, rrs, f_rayl, vza, vaz, max_m: int,
     vza = np.asarray(vza, dtype=np.float64)
     vaz = np.asarray(vaz, dtype=np.float64)
 
-    # production (schulz/TPU) path: static per-layer doubling schedules
-    # from the SAME builder as the elastic engines; the LU/CPU path keeps
-    # the traced-ndoubl loop (and stays bitwise vs the brute-force gates)
+    # production (schulz/TPU) path: static per-layer doubling schedules.
+    # UNLIKE the elastic engines' builder these are NOT quantized up — the
+    # quantization exists to cap Mosaic kernel instances, but the Raman
+    # path is XLA-only and every extra doubling step multiplies the
+    # per-shift work by nR (~170 rows): quantized schedules measured
+    # SLOWER than the traced loop (86 vs 101 pts/s); exact-nd buckets keep
+    # the traced path's step counts and add the scheduled-NS savings.
+    # The LU/CPU path keeps the traced-ndoubl loop (bitwise vs the
+    # brute-force gates).
     layer_schedules = None
-    if solver == "schulz":
-        from vsmartmom.core.rt_run import build_layer_schedules
-        nd_u, sched_u, layer_schedules = build_layer_schedules(
+    # Static scheduled-NS buckets measured SLOWER than the traced
+    # fori_loop on TPU for this path (86 vs 108 pts/s, same session, even
+    # at identical nd and ~3x fewer NS iterations): XLA's while-loop
+    # buffer aliasing beats the unrolled chain for the ~0.5 GB ie carry
+    # (the unrolled graph shows a 32% HBM-copy share in the profile).
+    # Opt-in via VSM_RAMAN_SCHED=1 for future re-measurement.
+    if solver == "schulz" and os.environ.get("VSM_RAMAN_SCHED") == "1":
+        layer_schedules = _raman_layer_schedules(
             np.asarray(band.tau), np.asarray(band.omega),
-            float(np.min(quad.qp_mu)), solver)
-        if layer_schedules is None and nd_u is not None:
-            layer_schedules = ((int(nd_u),
-                                tuple(sched_u) if sched_u else None, 4),
-                               ) * int(band.tau.shape[0])
+            float(np.min(quad.qp_mu)))
 
     i0_vec = np.zeros(n)
     i0_vec[quad.i_mu0_n:quad.i_mu0_n + n_stokes] = pol.i0

@@ -282,6 +282,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                 buckets.append((nd_z, tuple(sched_z), ni_z, iz, 1))
         comp = jax.tree.map(lambda x: x.astype(jnp.float32),
                             vacuum_layer(n_spec, n, dtype))
+        scan_block = int(os.environ.get("VSM_SCAN_BLOCK", "16"))
         for nd_z, sched_z, ni_z, start, count in buckets:
             sl = slice(start, start + count)
             comp = fused_layer_scan(
@@ -289,7 +290,7 @@ def _fourier_step_body(tau, omega, zw, z_pp_c, z_mp_c, qp, wt, d_vec, i0_vec,
                 z_pp_c, z_mp_c, qp, wct2, i0_vec, d_vec, mu0, mu0_node,
                 0.5 if is_m0 else 0.25,
                 ns_schedule=sched_z, i_mu0_n=i_mu0_n, n_stokes=n_stokes,
-                inter_iters=ni_z,
+                inter_iters=ni_z, block_s=scan_block,
                 interpret=(doubling_engine == "pallas_scan_interpret"))
         comp = jax.tree.map(lambda x: x.astype(dtype), comp)
     elif layer_schedules is not None:

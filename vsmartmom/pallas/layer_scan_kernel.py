@@ -46,6 +46,16 @@ def _expm1(x):
     return jnp.where(jnp.abs(x) < 0.2, p, jnp.exp(x) - 1.0)
 
 
+def _exp_small(x):
+    """e^x for the tiny per-step elemental arguments. TPU f32 jnp.exp
+    rounds at ~2e-6 RELATIVE; the doubling recursion compounds that
+    2^ndoubl-fold on the ~1.0 transmission diagonal (measured 1.6% vs
+    the per-layer-step engine at ndoubl=16 before this fix). 1 + _expm1
+    is correctly rounded near zero — the in-kernel analog of
+    core.rt.exp_small."""
+    return 1.0 + _expm1(x)
+
+
 def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
             qp_ref, wct2_ref, i0_ref, dv_ref, scal_ref,
             ci_rmp, ci_rpm, ci_tpp, ci_tmm, ci_jp, ci_jm,
@@ -103,7 +113,7 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
     wct2r = wct2_ref[:][:, None, :]          # (1, 1, N)
     col_mask = wct2r > 1e-8
 
-    exp_i = jnp.exp(-dt / mu_i)
+    exp_i = _exp_small(-dt / mu_i)
     r_mp = (om * z_mp * (mu_j / (mu_i + mu_j)) * wct2r
             * (-_expm1(-dt * (1.0 / mu_i + 1.0 / mu_j))))
     r_mp = jnp.where(col_mask, r_mp, 0.0)
@@ -114,7 +124,7 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
     # rt.elemental): dt/mu_j - dt/mu_i from two rounded quotients cancels
     # catastrophically for adjacent nodes in f32 (observed 0.3% layer error
     # at ndoubl=12); dt (mu_i - mu_j)/(mu_i mu_j) rounds once.
-    exp_diff = (jnp.exp(-dt / mu_j)
+    exp_diff = (_exp_small(-dt / mu_j)
                 * _expm1(dt * (mu_i - mu_j) / (mu_i * mu_j)))
     t_off = om * z_pp * (mu_j / denom) * wct2r * exp_diff
     t_pp = jnp.where(same_mu, jnp.where(eye_b, t_diag, 0.0), t_off)
@@ -130,12 +140,12 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
 
     mu_iv = qp2                              # (1, N)
     dt_v = dtau                              # (S, 1)
-    exp_iv = jnp.exp(-dt_v / mu_iv)
+    exp_iv = _exp_small(-dt_v / mu_iv)
     # degenerate limit also at any node whose mu equals mu0 (same guard +
     # one-subtraction expm1 argument as rt.elemental)
     same0 = in_block | (mu_iv == mu0_node)
     denom0 = jnp.where(same0, 1.0, mu_iv - mu0_node)
-    exp_diff0 = (jnp.exp(-dt_v / mu0_node)
+    exp_diff0 = (_exp_small(-dt_v / mu0_node)
                  * _expm1(dt_v * (mu_iv - mu0_node) / (mu_iv * mu0_node)))
     j_p = jnp.where(same0, (dt_v / mu_iv) * exp_iv,
                     (mu0_node / denom0) * exp_diff0)
@@ -152,7 +162,7 @@ def _kernel(tau_ref, omega_ref, tausum_ref, zw_ref, zpp_ref, zmp_ref,
     t = t_pp
     jm = dv * j_m
     jp = j_p
-    ek = jnp.exp(-dtau / mu0)                # (S, 1)
+    ek = _exp_small(-dtau / mu0)             # (S, 1)
     mv = lambda a, v: mm(a, v[:, :, None])[:, :, 0]
     for it in ns_schedule:
         a = eye - mm(r, r)
