@@ -220,3 +220,21 @@ def test_rt_run_canopy_sensor_levels():
     # positive, and distinct from level 0)
     assert np.all(np.isfinite(uw[1])) and np.abs(dw[1]).max() > 0
     assert np.abs(uw[1] - uw[0]).max() > 0
+
+
+def test_rt_run_canopy_brdf_soil():
+    """RPV soil under the canopy: runs, finite, and reduces toward the
+    Lambertian result when the RPV parameters approach Lambertian
+    (k = 1, bigTheta = 0, rho_c = 1 -> constant rho0/pi reflectance)."""
+    pol, quad, band, canopy, _, rt_run_canopy = _scene(lai=0.8)
+    rpv_lamb = {"type": "rpvSurfaceScalar", "rho0": 0.3, "rho_c": 1.0,
+                "k": 1.0, "theta": 0.0}
+    R_rpv, *_ = rt_run_canopy(pol, quad, band, canopy, [15.0], [30.0], 3,
+                              rpv_lamb)
+    R_lam, *_ = rt_run_canopy(pol, quad, band, canopy, [15.0], [30.0], 3,
+                              {"type": "LambertianSurfaceScalar",
+                               "albedo": 0.3})
+    assert np.all(np.isfinite(R_rpv))
+    # quasi-Lambertian RPV: same leading-order reflectance (hotspot/angle
+    # factors gone); few-percent agreement is the physical expectation
+    assert np.abs(R_rpv - R_lam).max() / np.abs(R_lam).max() < 0.05
