@@ -19,6 +19,14 @@ import sys
 
 import numpy as np
 
+import jax
+
+# the gate (tests/conftest.py) measures in f64 on CPU; without x64 the
+# f32 line-sum accumulation alone reads ~5e-24 (measured) — 8x above the
+# artifact's true error
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 REF = "/root/reference/test/test_profiles"

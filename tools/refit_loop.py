@@ -54,8 +54,10 @@ def main(molecule, hours, half=0.6, target=2.4e-27, iters=500):
 
 if __name__ == "__main__":
     mol = sys.argv[1] if len(sys.argv) > 1 else "CO2"
-    hours = 3.0
+    hours, half = 3.0, 0.6
     for arg in sys.argv[2:]:
         if arg.startswith("--hours="):
             hours = float(arg.split("=")[1])
-    main(mol, hours)
+        if arg.startswith("--half="):
+            half = float(arg.split("=")[1])
+    main(mol, hours, half=half)
